@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache setup.
+
+The host driving the TPU in this environment has a single CPU core, so XLA
+compiles are expensive; caching them on disk makes every process after the
+first start instantly.  Importing this module (or calling ``enable``) is
+idempotent and safe on any backend.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_CACHE_DIR = os.environ.get(
+    "MFCD_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+
+
+def enable(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+enable()

@@ -1,0 +1,158 @@
+"""Bradley–Terry–Luce labeling and dataset assembly, entirely on device.
+
+Capability match for ``BTLPreferenceDataset`` + ``split_dataset_from_triplets``
+(reference ``structure.py:465-742``):
+
+- labels follow ``P(u prefers i over j) = sigmoid(scale * (X[u,i] - X[u,j]))``
+  (reference ``structure.py:509``),
+- hard labels draw K independent Bernoulli votes, each becoming its own
+  (u, i, j, label) row — the dataset size multiplies by K
+  (reference ``structure.py:516-518``),
+- soft labels (train split only, when enabled) average the K votes into one
+  row (reference ``structure.py:510-513, 733-735``),
+- the 80/10/10 split uses a fixed-seed permutation
+  (reference ``structure.py:710-713``),
+- the test split is topped up to >= 500 labels with freshly sampled triplets
+  excluding everything already seen (reference ``structure.py:721-730``).
+
+Shapes are static; shortfall from constrained samplers propagates as
+validity masks rather than smaller arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mfcd_tpu.core import rng
+from mfcd_tpu.core.config import RunConfig, ShapeInfo
+from mfcd_tpu.sampling import sample_triplets, split_triplets
+from mfcd_tpu.sampling.dedup import TripletSet
+
+
+class LabeledSplit(NamedTuple):
+    """A labeled comparison split: (u, i, j, z) rows with a validity mask."""
+
+    u: jax.Array      # [N] int32
+    i: jax.Array      # [N] int32
+    j: jax.Array      # [N] int32
+    z: jax.Array      # [N] float32 labels (0/1 hard, fractional soft)
+    valid: jax.Array  # [N] bool
+    count: jax.Array  # scalar int32 — number of valid rows
+
+
+def btl_label(
+    key: jax.Array,
+    x: jax.Array,
+    triplets: jax.Array,
+    triplet_count: jax.Array,
+    scale,
+    K: int,
+    soft_label: bool = False,
+) -> LabeledSplit:
+    """Label a [T, 3] triplet array under the BTL model.
+
+    Hard mode returns T*K rows (votes inlined); soft mode returns T rows
+    whose labels are the mean of K votes.
+    """
+    t = triplets.shape[0]
+    tvalid = jnp.arange(t) < triplet_count
+    u, i, j = triplets[:, 0], triplets[:, 1], triplets[:, 2]
+    diff = x[u, i] - x[u, j]
+    prob = jax.nn.sigmoid(scale * diff)  # [T]
+
+    if soft_label:
+        votes = jax.random.bernoulli(key, prob[:, None], (t, K))
+        z = jnp.mean(votes.astype(jnp.float32), axis=1)
+        return LabeledSplit(
+            u=u, i=i, j=j, z=z, valid=tvalid,
+            count=triplet_count.astype(jnp.int32),
+        )
+
+    votes = jax.random.bernoulli(key, prob[:, None], (t, K))  # [T, K]
+    z = votes.astype(jnp.float32).reshape(-1)                 # [T*K]
+    rep = lambda a: jnp.repeat(a, K, axis=0)
+    return LabeledSplit(
+        u=rep(u), i=rep(i), j=rep(j), z=z, valid=rep(tvalid),
+        count=(triplet_count * K).astype(jnp.int32),
+    )
+
+
+class Dataset(NamedTuple):
+    train: LabeledSplit
+    val: LabeledSplit
+    test: LabeledSplit
+    sample: TripletSet  # the full unique triplet sample (for diagnostics)
+
+
+def build_dataset(
+    streams: dict,
+    x: jax.Array,
+    cfg: RunConfig,
+    shapes: ShapeInfo | None = None,
+    s=None,
+) -> Dataset:
+    """Sample triplets, split 80/10/10, top up test, and label — one trace.
+
+    ``streams`` comes from :func:`mfcd_tpu.core.rng.rep_streams`.
+    ``s`` optionally overrides ``cfg.s`` with a *traced* scale so one
+    compiled program serves a whole s-sweep.
+    """
+    if shapes is None:
+        shapes = cfg.shapes()
+    if s is None:
+        s = cfg.s
+    t = shapes.num_triplets
+
+    sample = sample_triplets(
+        streams["sampling"], x, t,
+        strategy=cfg.strategy,
+        popularity_method=cfg.popularity_method,
+        alpha=cfg.alpha,
+    )
+
+    splits = split_triplets(
+        sample, rng.split_key(),
+        train_cap=shapes.train_triplets,
+        val_cap=shapes.val_triplets,
+        test_cap=shapes.test_triplets,
+    )
+
+    test_triplets = splits.test
+    test_count = splits.test_count
+    if shapes.extra_test_triplets > 0:
+        extra = sample_triplets(
+            streams["extra_sampling"], x, shapes.extra_test_triplets,
+            strategy=cfg.strategy,
+            popularity_method=cfg.popularity_method,
+            alpha=cfg.alpha,
+            exclude=sample.triplets,
+            exclude_valid=sample.valid,
+        )
+        # Compact concatenation: valid test rows first, then valid extras.
+        both = jnp.concatenate([splits.test, extra.triplets], axis=0)
+        both_valid = jnp.concatenate(
+            [jnp.arange(shapes.test_triplets) < test_count, extra.valid]
+        )
+        pos = jnp.cumsum(both_valid) - 1
+        cap = shapes.test_triplets + shapes.extra_test_triplets
+        to = jnp.where(both_valid, pos, cap)
+        test_triplets = jnp.zeros((cap, 3), jnp.int32).at[to].set(
+            both, mode="drop")
+        test_count = test_count + extra.count
+
+    train = btl_label(
+        streams["labels_train"], x, splits.train, splits.train_count,
+        s, cfg.K, soft_label=cfg.soft_label,
+    )
+    val = btl_label(
+        streams["labels_val"], x, splits.val, splits.val_count,
+        s, cfg.K, soft_label=False,
+    )
+    test = btl_label(
+        streams["labels_test"], x, test_triplets, test_count,
+        s, cfg.K, soft_label=False,
+    )
+    return Dataset(train=train, val=val, test=test, sample=sample)

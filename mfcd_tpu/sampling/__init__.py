@@ -1,0 +1,95 @@
+"""Triplet sampling — jittable ``sample_triplets`` dispatch.
+
+TPU-native capability match for ``get_triplets_from_X`` (reference
+``structure.py:533-588``): unique (u, i, j) triplets with i != j, exclude-set
+support, and graceful shortfall via validity counts instead of warnings-only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+
+from mfcd_tpu.sampling.dedup import (  # noqa: F401
+    SplitArrays,
+    TripletSet,
+    overdraw_size,
+    select_unique,
+    split_triplets,
+)
+from mfcd_tpu.sampling import strategies
+from mfcd_tpu.sampling.strategies import plan_overdraw  # noqa: F401
+
+STRATEGIES = (
+    "random", "proximity", "margin", "variance", "popularity",
+    "top_k", "cluster", "user_similarity", "svd",
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_triplets", "strategy", "m_draw", "popularity_method",
+        "alpha", "n_clusters",
+    ),
+)
+def sample_triplets(
+    key: jax.Array,
+    x: jax.Array,
+    num_triplets: int,
+    strategy: str = "random",
+    exclude: Optional[jax.Array] = None,
+    exclude_valid: Optional[jax.Array] = None,
+    m_draw: Optional[int] = None,
+    popularity_method: str = "zipf",
+    alpha: float = 1.5,
+    n_clusters: int = 10,
+) -> TripletSet:
+    """Sample ``num_triplets`` unique (u, i, j) comparisons from X.
+
+    Returns a :class:`TripletSet` whose ``count`` may fall short of the
+    budget for constrained strategies, mirroring the reference's shortfall
+    warnings (``generation_data.py:81-82,176-177,221-222``).
+
+    ``alpha`` enters the overdraw plan only for ``popularity``, so it stays a
+    static argument here; per-candidate numerics treat it as a constant too
+    (it's baked into the probs).  All other numeric inputs may be traced.
+    """
+    n, m = x.shape
+    if m_draw is None:
+        m_draw = plan_overdraw(
+            strategy, num_triplets, n, m,
+            popularity_method=popularity_method, alpha=alpha,
+        )
+
+    if strategy == "random":
+        cands, valid = strategies.propose_random(key, x, m_draw)
+    elif strategy == "proximity":
+        cands, valid = strategies.propose_proximity(key, x, m_draw)
+    elif strategy == "margin":
+        cands, valid = strategies.propose_margin(
+            key, x, m_draw, num_triplets=num_triplets)
+    elif strategy == "variance":
+        cands, valid = strategies.propose_variance(key, x, m_draw)
+    elif strategy == "popularity":
+        cands, valid = strategies.propose_popularity(
+            key, x, m_draw, method=popularity_method, alpha=alpha)
+    elif strategy == "top_k":
+        cands, valid = strategies.propose_top_k(key, x, m_draw)
+    elif strategy == "cluster":
+        cands, valid = strategies.propose_cluster(
+            key, x, m_draw, n_clusters=n_clusters)
+    elif strategy == "user_similarity":
+        cands, valid = strategies.propose_user_similarity(
+            key, x, m_draw, num_triplets=num_triplets)
+    elif strategy == "svd":
+        cands, valid = strategies.propose_svd(
+            key, x, m_draw, num_triplets=num_triplets)
+    else:
+        raise ValueError(f"Unknown triplet sampling strategy: {strategy}")
+
+    return select_unique(
+        cands, valid, num_triplets, exclude=exclude, exclude_valid=exclude_valid
+    )

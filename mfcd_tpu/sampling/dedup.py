@@ -1,0 +1,186 @@
+"""Fixed-shape unique-triplet selection and masked splits.
+
+The reference's samplers are python ``while`` loops inserting ``(u, i, j)``
+tuples into a ``set`` until the budget is met (e.g. ``generation_data.py:
+16-26``), with ``exclude``-set support used by the test-set top-up
+(``structure.py:721-730``).  Dynamic set growth cannot be traced, so the
+TPU design draws a static overdraw of candidates and recovers *exactly* the
+sequential-rejection semantics with a sort:
+
+1. candidates are tagged with their draw order,
+2. a lexsort over (u, i, j, order) groups duplicates into runs with the
+   earliest draw (or an exclude entry, tagged order -1) at the head,
+3. only run heads that are valid candidates are kept — i.e. the first
+   occurrence of each triplet, never anything in the exclude set,
+4. kept rows are compacted (in draw order) into the first ``target`` slots.
+
+The result ``(triplets [target, 3], count)`` matches what the reference's
+rejection loop would produce in distribution: the first ``target`` distinct
+valid triplets in draw order.  ``count < target`` encodes the reference's
+shortfall path (``generation_data.py:81-82, 176-177, 221-222``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel pushing invalid rows past every real (u, i, j) in the sort.
+_SENT = jnp.int32(2**30)
+
+
+class TripletSet(NamedTuple):
+    """A compacted unique triplet sample: rows [T, 3]; first ``count`` valid."""
+
+    triplets: jax.Array  # [T, 3] int32
+    count: jax.Array     # scalar int32
+
+    @property
+    def valid(self) -> jax.Array:
+        return jnp.arange(self.triplets.shape[0]) < self.count
+
+
+def select_unique(
+    cands: jax.Array,
+    valid: jax.Array,
+    target: int,
+    exclude: Optional[jax.Array] = None,
+    exclude_valid: Optional[jax.Array] = None,
+) -> TripletSet:
+    """First-occurrence selection of unique valid triplets.
+
+    Args:
+      cands: [M, 3] int32 proposals in draw order.
+      valid: [M] bool per-proposal validity (i != j, strategy acceptance...).
+      target: static output size T.
+      exclude: optional [E, 3] forbidden triplets (the reference's
+        ``exclude`` set), with optional [E] mask ``exclude_valid``.
+    """
+    m_cand = cands.shape[0]
+    rows = jnp.where(valid[:, None], cands.astype(jnp.int32), _SENT)
+    order = jnp.arange(m_cand, dtype=jnp.int32)
+    is_cand = jnp.ones((m_cand,), dtype=bool)
+
+    if exclude is not None:
+        ex = exclude.astype(jnp.int32)
+        if exclude_valid is not None:
+            ex = jnp.where(exclude_valid[:, None], ex, _SENT)
+        rows = jnp.concatenate([ex, rows], axis=0)
+        order = jnp.concatenate(
+            [jnp.full((ex.shape[0],), -1, dtype=jnp.int32), order]
+        )
+        is_cand = jnp.concatenate(
+            [jnp.zeros((ex.shape[0],), dtype=bool), is_cand]
+        )
+        valid = jnp.concatenate(
+            [jnp.zeros((ex.shape[0],), dtype=bool), valid]
+        )
+
+    # Primary key u, then i, j, then draw order (exclude rows first in-run).
+    sort_idx = jnp.lexsort((order, rows[:, 2], rows[:, 1], rows[:, 0]))
+    srows = rows[sort_idx]
+    run_head = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            jnp.any(srows[1:] != srows[:-1], axis=1),
+        ]
+    )
+    keep_sorted = run_head & is_cand[sort_idx] & valid[sort_idx]
+
+    # Back to draw order, then compact the kept rows to the front.
+    keep = jnp.zeros(rows.shape[0], dtype=bool).at[sort_idx].set(keep_sorted)
+    keep = keep[-m_cand:]
+    pos = jnp.cumsum(keep) - 1
+    count = jnp.minimum(jnp.sum(keep), target).astype(jnp.int32)
+    scatter_to = jnp.where(keep & (pos < target), pos, target)
+    out = jnp.zeros((target, 3), dtype=jnp.int32).at[scatter_to].set(
+        cands.astype(jnp.int32), mode="drop"
+    )
+    return TripletSet(out, count)
+
+
+class SplitArrays(NamedTuple):
+    """Masked train/val/test triplet arrays with dynamic valid counts."""
+
+    train: jax.Array        # [T_train_cap, 3]
+    train_count: jax.Array  # scalar
+    val: jax.Array          # [T_val_cap, 3]
+    val_count: jax.Array
+    test: jax.Array         # [T_test_cap, 3]
+    test_count: jax.Array
+
+
+def split_triplets(
+    sample: TripletSet,
+    split_key: jax.Array,
+    train_cap: int,
+    val_cap: int,
+    test_cap: int,
+    train_ratio: float = 0.8,
+    val_ratio: float = 0.1,
+) -> SplitArrays:
+    """Deterministic 80/10/10 split with masked shortfall handling.
+
+    Mirrors ``torch.utils.data.random_split`` under the fixed seed 42
+    (reference ``structure.py:704-718``): sizes are computed from the
+    *actual* number of unique triplets, a seeded permutation assigns
+    membership, and each split keeps the permuted order.
+    """
+    t = sample.triplets.shape[0]
+    count = sample.count
+    perm = jax.random.permutation(split_key, t)
+    permuted = sample.triplets[perm]
+    perm_valid = perm < count  # valid rows live in the first `count` slots
+
+    train_sz = jnp.floor(train_ratio * count).astype(jnp.int32)
+    val_sz = jnp.floor(val_ratio * count).astype(jnp.int32)
+    test_sz = count - train_sz - val_sz
+
+    rank = jnp.cumsum(perm_valid) - 1  # rank among valid, in permuted order
+    in_train = perm_valid & (rank < train_sz)
+    in_val = perm_valid & (rank >= train_sz) & (rank < train_sz + val_sz)
+    in_test = perm_valid & (rank >= train_sz + val_sz)
+
+    def gather_split(mask, cap):
+        pos = jnp.cumsum(mask) - 1
+        to = jnp.where(mask & (pos < cap), pos, cap)
+        return jnp.zeros((cap, 3), dtype=jnp.int32).at[to].set(
+            permuted, mode="drop"
+        )
+
+    return SplitArrays(
+        train=gather_split(in_train, train_cap),
+        train_count=jnp.minimum(train_sz, train_cap),
+        val=gather_split(in_val, val_cap),
+        val_count=jnp.minimum(val_sz, val_cap),
+        test=gather_split(in_test, test_cap),
+        test_count=jnp.minimum(test_sz, test_cap),
+    )
+
+
+def overdraw_size(
+    target: int,
+    population: float,
+    p_valid: float = 1.0,
+    safety: float = 1.3,
+    slack: int = 512,
+    cap: Optional[int] = None,
+) -> int:
+    """Static overdraw M so that ~target unique valid draws survive.
+
+    Drawing M uniform samples from a population of size N yields about
+    ``N (1 - exp(-M/N))`` unique values; inverting gives the M needed for
+    ``target`` uniques, inflated by the validity rate and a safety margin.
+    """
+    import math
+
+    n_eff = max(float(population), 1.0)
+    frac = min(float(target) / n_eff, 0.999)
+    m_unique = -n_eff * math.log1p(-frac)
+    m = int(math.ceil(m_unique / max(p_valid, 1e-6) * safety)) + slack
+    m = max(m, target)
+    if cap is not None:
+        m = min(m, max(cap, 1))
+    return m

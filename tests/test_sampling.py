@@ -1,0 +1,158 @@
+"""Sampler unit tests (reference ``generation_data.py:11-338``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfcd_tpu.genx import generate_x
+from mfcd_tpu.sampling import STRATEGIES, sample_triplets, select_unique, split_triplets
+from mfcd_tpu.sampling.dedup import TripletSet
+from mfcd_tpu.sampling.strategies import top_k_value
+
+KEY = jax.random.key(7)
+N, M = 30, 40
+X = generate_x(KEY, N, M, 3, "base")
+
+
+def _as_set(ts: TripletSet):
+    cnt = int(ts.count)
+    rows = np.asarray(ts.triplets[:cnt])
+    return {tuple(r) for r in rows.tolist()}, rows
+
+
+def test_select_unique_matches_sequential_rejection():
+    """The sort-based selection must equal a python first-occurrence scan."""
+    rng = np.random.default_rng(0)
+    cands = rng.integers(0, 5, size=(200, 3)).astype(np.int32)
+    valid = cands[:, 1] != cands[:, 2]
+    exclude = np.array([[0, 1, 2], [3, 2, 1], [4, 4, 3]], dtype=np.int32)
+
+    target = 40
+    out = select_unique(
+        jnp.asarray(cands), jnp.asarray(valid), target, jnp.asarray(exclude)
+    )
+
+    # Python oracle: sequential rejection in draw order.
+    seen, expected = set(), []
+    excl = {tuple(r) for r in exclude.tolist()}
+    for c, v in zip(cands.tolist(), valid.tolist()):
+        t = tuple(c)
+        if v and t not in seen and t not in excl:
+            seen.add(t)
+            expected.append(t)
+            if len(expected) == target:
+                break
+    cnt = int(out.count)
+    got = [tuple(r) for r in np.asarray(out.triplets[:cnt]).tolist()]
+    assert got == expected[:target]
+
+
+def test_select_unique_shortfall():
+    cands = jnp.array([[0, 1, 2]] * 50, dtype=jnp.int32)
+    out = select_unique(cands, jnp.ones(50, bool), 10)
+    assert int(out.count) == 1
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_strategies_produce_unique_valid_triplets(strategy):
+    t = 120
+    out = sample_triplets(KEY, X, t, strategy=strategy)
+    cnt = int(out.count)
+    assert cnt > 0
+    uniq, rows = _as_set(out)
+    assert len(uniq) == cnt                      # all unique
+    assert np.all(rows[:, 0] < N)
+    assert np.all(rows[:, 1] < M) and np.all(rows[:, 2] < M)
+    assert np.all(rows[:, 1] != rows[:, 2])      # i != j
+    if strategy in ("random", "proximity", "variance", "popularity",
+                    "top_k", "svd", "cluster"):
+        assert cnt == t                          # budget met
+
+
+def test_exclude_respected():
+    t = 100
+    first = sample_triplets(KEY, X, t, strategy="random")
+    second = sample_triplets(
+        jax.random.key(8), X, t, strategy="random",
+        exclude=first.triplets, exclude_valid=first.valid,
+    )
+    s1, _ = _as_set(first)
+    s2, _ = _as_set(second)
+    assert not (s1 & s2)
+
+
+def test_proximity_extremes():
+    out = sample_triplets(KEY, X, 100, strategy="proximity")
+    _, rows = _as_set(out)
+    xa = np.asarray(X)
+    k = min(100, M)
+    for u, i, j in rows[:50]:
+        order = np.argsort(xa[u])
+        assert i in order[-k:]
+        assert j in order[:k]
+
+
+def test_top_k_membership():
+    out = sample_triplets(KEY, X, 100, strategy="top_k")
+    _, rows = _as_set(out)
+    xa = np.asarray(X)
+    k = top_k_value(M)
+    for u, i, j in rows[:50]:
+        top = set(np.argsort(xa[u])[-k:].tolist())
+        assert i in top and j in top
+
+
+def test_margin_constraint():
+    t = 200
+    out = sample_triplets(KEY, X, t, strategy="margin")
+    cnt = int(out.count)
+    xa = np.asarray(X)
+    sample = xa[: min(10, N)]
+    margin = np.mean(sample.max(axis=1) - sample.min(axis=1)) * t / (N * M)
+    _, rows = _as_set(out)
+    for u, i, j in rows:
+        assert abs(xa[u, i] - xa[u, j]) <= margin + 1e-5
+
+
+def test_popularity_skew():
+    key = jax.random.key(9)
+    out = sample_triplets(key, X, 500, strategy="popularity",
+                          popularity_method="zipf", alpha=1.5)
+    _, rows = _as_set(out)
+    items = np.concatenate([rows[:, 1], rows[:, 2]])
+    low = np.mean(items < M // 4)
+    high = np.mean(items >= 3 * M // 4)
+    assert low > high * 2  # zipf over indices favors early items
+
+
+def test_split_partition():
+    t = 200
+    sample = sample_triplets(KEY, X, t, strategy="random")
+    sh_train, sh_val = int(0.8 * t), int(0.1 * t)
+    sh_test = t - sh_train - sh_val
+    splits = split_triplets(sample, jax.random.key(42), sh_train, sh_val, sh_test)
+    tr = np.asarray(splits.train[: int(splits.train_count)])
+    va = np.asarray(splits.val[: int(splits.val_count)])
+    te = np.asarray(splits.test[: int(splits.test_count)])
+    assert len(tr) == sh_train and len(va) == sh_val and len(te) == sh_test
+    all_rows = {tuple(r) for r in np.concatenate([tr, va, te]).tolist()}
+    orig, _ = _as_set(sample)
+    assert all_rows == orig  # disjoint cover of the sample
+
+    # Deterministic: same split twice.
+    splits2 = split_triplets(sample, jax.random.key(42), sh_train, sh_val, sh_test)
+    assert np.array_equal(np.asarray(splits.train), np.asarray(splits2.train))
+
+
+def test_split_with_shortfall():
+    t = 100
+    sample = sample_triplets(KEY, X, t, strategy="random")
+    short = TripletSet(sample.triplets, jnp.int32(57))  # pretend shortfall
+    splits = split_triplets(short, jax.random.key(42), 80, 10, 10)
+    assert int(splits.train_count) == int(0.8 * 57)
+    assert int(splits.val_count) == int(0.1 * 57)
+    assert (
+        int(splits.train_count) + int(splits.val_count)
+        + int(splits.test_count) == 57
+    )
