@@ -1,0 +1,86 @@
+"""Benchmark: full-training-run throughput on the canonical production config.
+
+Measures end-to-end experiment throughput (generate X -> sample triplets ->
+BTL labels -> 30-epoch Adam training -> full 23-metric evaluation -> host
+export) on the reference's canonical 1000x1000, d=2 grid configuration
+(reference ``Runs.ipynb`` cells 3-18, ``structure.py:356``), using the
+framework's production path: one compiled XLA program vmapped over
+(configs x reps).
+
+Baseline (BASELINE.md): north-star >= 1000 full runs/hour on a v5e-8 slice
+== 125 runs/hour/chip.  ``vs_baseline`` is measured runs/hour/chip / 125.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    quick = "--quick" in sys.argv
+
+    import jax
+
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.sweep.batched import run_bucket
+
+    if quick:
+        cfg = RunConfig(n=100, m=100, d=2, p=0.2, num_epochs=5, reps=2)
+        n_configs = 2
+    else:
+        # Canonical production config: n=m=1000, d=2, 30 epochs, p=0.2
+        # (100k triplets -> 80k train rows -> 1250 steps/epoch at batch 64).
+        cfg = RunConfig(
+            n=1000, m=1000, d=2, p=0.2, s=5.0, lr=1e-3, weight_decay=5e-6,
+            num_epochs=30, reps=4, K=1, strategy="random", generation="base",
+        )
+        n_configs = 2
+
+    rows = [
+        {"s": 5.0 + k, "lr": 1e-3, "weight_decay": 5e-6}
+        for k in range(n_configs)
+    ]
+    total_runs = n_configs * cfg.reps
+    shapes = cfg.shapes()
+    steps_per_run = shapes.train_batches * cfg.num_epochs
+    rows_per_run = shapes.train_rows * cfg.num_epochs
+
+    log(f"device: {jax.devices()[0]}")
+    log(f"config: n={cfg.n} m={cfg.m} d={cfg.d} p={cfg.p} K={cfg.K} "
+        f"epochs={cfg.num_epochs}; {total_runs} runs "
+        f"({n_configs} configs x {cfg.reps} reps); "
+        f"{steps_per_run} Adam steps/run")
+
+    t0 = time.time()
+    run_bucket(cfg, rows, list(range(n_configs)), seed=123)
+    log(f"warmup (incl. compile): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = run_bucket(cfg, rows, list(range(n_configs)), seed=321)
+    dt = time.time() - t0
+    log(f"steady-state: {dt:.2f}s for {total_runs} full runs "
+        f"({dt / total_runs:.3f}s/run)")
+    log(f"accuracy sample: {out[0]['accuracy']}")
+
+    runs_per_hour_per_chip = 3600.0 / dt * total_runs
+    grads_per_sec = rows_per_run * total_runs / dt
+    log(f"triplet-grads/sec: {grads_per_sec:,.0f}")
+
+    print(json.dumps({
+        "metric": "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2",
+        "value": round(runs_per_hour_per_chip, 1),
+        "unit": "runs/hour/chip",
+        "vs_baseline": round(runs_per_hour_per_chip / 125.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

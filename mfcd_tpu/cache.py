@@ -23,6 +23,12 @@ def enable(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Exact f32 matmuls everywhere: this environment's default drops to
+    # bf16-pass precision (~1e-3 error), which corrupts QR/SVD-based
+    # generators and metrics.  The framework's matmuls are tiny relative to
+    # runtime, so "highest" costs nothing measurable and keeps metric parity
+    # with the reference's f32 LAPACK numerics.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 enable()

@@ -1,0 +1,245 @@
+"""Hot-path kernels: one-hot MXU embedding ops + a Pallas fused-epoch kernel.
+
+The training inner loop (reference ``structure.py:787-795, 845-852``) is a
+row gather from U/V, a d-length dot, a sigmoid/BCE, and a scatter-add of the
+gradient back into the gathered rows, followed by a dense Adam update.  At
+the reference's scale (n=m=1000, d=2, batch 64) the arrays are tiny and the
+cost is per-step overhead, not FLOPs.  Two TPU-native designs:
+
+1. **One-hot MXU path** (`onehot_forward_logits`): express the gather as
+   ``onehot(idx) @ table``.  The MXU does the gather, and autodiff turns the
+   backward scatter-add into the transposed matmul ``onehot.T @ grad`` — no
+   XLA scatter at all.  Exact because one-hot matmuls move values untouched
+   (matmul precision is pinned to "highest", see ``mfcd_tpu.cache``).
+
+2. **Pallas fused-epoch kernel** (`pallas_train_epoch`): one kernel per
+   epoch per run keeps U, V, and the Adam moments resident in VMEM in a
+   transposed ``[d, n]`` layout (features on sublanes, rows on lanes) and
+   loops over all minibatches on-chip — forward one-hot matmuls, BCE
+   gradient, transposed-matmul scatter, and the coupled-weight-decay Adam
+   update, with zero HBM round-trips between steps.  Runs are mapped onto
+   the Pallas grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mfcd_tpu.models.mf import MFParams
+
+_F32 = jnp.float32
+
+
+def onehot(idx: jax.Array, depth: int) -> jax.Array:
+    """[B] int32 -> [B, depth] f32 one-hot (iota compare; no scatter)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], depth), 1)
+    return (iota == idx[:, None]).astype(_F32)
+
+
+def onehot_forward_logits(params: MFParams, u, i, j) -> jax.Array:
+    """MXU-friendly forward: logits = sum_d (O_u U) * (O_i V - O_j V).
+
+    Gradients flow through the matmuls, so the backward pass is transposed
+    one-hot matmuls (MXU scatter-add) instead of XLA scatters.
+    """
+    n = params.U.shape[0]
+    m = params.V.shape[0]
+    eu = onehot(u, n) @ params.U
+    dv = (onehot(i, m) - onehot(j, m)) @ params.V
+    return jnp.sum(eu * dv, axis=-1)
+
+
+class EpochState(NamedTuple):
+    """Transposed-layout training state carried across Pallas epochs."""
+
+    u_t: jax.Array    # [R, d, n]
+    v_t: jax.Array    # [R, d, m]
+    mu_u: jax.Array   # [R, d, n]
+    nu_u: jax.Array   # [R, d, n]
+    mu_v: jax.Array   # [R, d, m]
+    nu_v: jax.Array   # [R, d, m]
+
+
+def _epoch_kernel(
+    # scalar-prefetch / SMEM operands
+    lr_ref, wd_ref, step0_ref,
+    # tensor operands
+    pu_ref, pi_ref, pj_ref, z_ref, mask_ref,
+    u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in,
+    # outputs (state aliased to inputs, plus the epoch loss)
+    u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out, loss_out,
+    *, num_batches: int, b1: float, b2: float, eps: float,
+):
+    del u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in  # aliased to outputs
+    d, n = u_out.shape[1], u_out.shape[2]
+    m = v_out.shape[2]
+    bs = pu_ref.shape[2]
+    lr = lr_ref[0, 0]
+    wd = wd_ref[0, 0]
+    step0 = step0_ref[0, 0]
+    log_b1 = jnp.log(jnp.float32(b1))
+    log_b2 = jnp.log(jnp.float32(b2))
+
+    def contract(table_t, oh):
+        # [d, N] x [bs, N] -> [d, bs]
+        return jax.lax.dot_general(
+            table_t, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+
+    def scatter(grad_rows, oh):
+        # [d, bs] x [bs, N] -> [d, N]
+        return jax.lax.dot_general(
+            grad_rows, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+
+    def body(t, carry):
+        loss_sum, nonempty = carry
+        idx_u = pu_ref[0, t, :]
+        idx_i = pi_ref[0, t, :]
+        idx_j = pj_ref[0, t, :]
+        z = z_ref[0, t, :].reshape(1, bs)
+        mask = mask_ref[0, t, :].reshape(1, bs)
+
+        oh_u = (jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1)
+                == idx_u[:, None]).astype(_F32)
+        oh_i = (jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
+                == idx_i[:, None]).astype(_F32)
+        oh_j = (jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
+                == idx_j[:, None]).astype(_F32)
+
+        u_mat = u_out[0]
+        v_mat = v_out[0]
+        eu = contract(u_mat, oh_u)                 # [d, bs]
+        dv = contract(v_mat, oh_i - oh_j)          # [d, bs]
+        logits = jnp.sum(eu * dv, axis=0, keepdims=True)  # [1, bs]
+
+        # Stable BCE and its gradient.
+        bce = (jnp.maximum(logits, 0.0) - logits * z
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        cnt = jnp.sum(mask)
+        inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+        loss = jnp.sum(bce * mask) * inv_cnt
+        g = (jax.nn.sigmoid(logits) - z) * mask * inv_cnt  # [1, bs]
+
+        g_u_rows = g * dv                          # [d, bs]
+        g_v_rows = g * eu
+        grad_u = scatter(g_u_rows, oh_u)           # [d, n]
+        grad_v = scatter(g_v_rows, oh_i) - scatter(g_v_rows, oh_j)
+
+        # torch-Adam with coupled weight decay; skip empty batches.
+        has_rows = cnt > 0
+        t_step = step0 + (t + 1).astype(_F32)
+        bc1 = 1.0 - jnp.exp(t_step * log_b1)
+        bc2 = 1.0 - jnp.exp(t_step * log_b2)
+
+        def update(p_ref, mu_ref, nu_ref, grad):
+            p = p_ref[0]
+            grad = grad + wd * p
+            mu = b1 * mu_ref[0] + (1.0 - b1) * grad
+            nu = b2 * nu_ref[0] + (1.0 - b2) * grad * grad
+            new_p = p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            sel = jnp.where(has_rows, 1.0, 0.0)
+            p_ref[0] = p + sel * (new_p - p)
+            mu_ref[0] = mu_ref[0] + sel * (mu - mu_ref[0])
+            nu_ref[0] = nu_ref[0] + sel * (nu - nu_ref[0])
+
+        update(u_out, mu_u_out, nu_u_out, grad_u)
+        update(v_out, mu_v_out, nu_v_out, grad_v)
+
+        ne = jnp.where(has_rows, 1.0, 0.0)
+        return loss_sum + loss * ne, nonempty + ne
+
+    loss_sum, nonempty = jax.lax.fori_loop(
+        0, num_batches, body, (jnp.float32(0.0), jnp.float32(0.0))
+    )
+    loss_out[0, 0] = loss_sum / jnp.maximum(nonempty, 1.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_batches", "b1", "b2", "eps")
+)
+def pallas_train_epoch(
+    state: EpochState,
+    pu, pi, pj,        # [R, B, bs] int32 permuted row/item indices
+    z, mask,           # [R, B, bs] f32
+    lr, wd, step0,     # [R] f32 (step0 = Adam step count before this epoch)
+    num_batches: int,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+):
+    """One full training epoch per run, fused into a single TPU kernel.
+
+    Grid dimension = runs; each grid step trains one run's epoch entirely
+    in VMEM.  Returns (new_state, per-run epoch mean loss [R]).
+    """
+    r, d, n = state.u_t.shape
+    m = state.v_t.shape[2]
+    bs = pu.shape[2]
+
+    state_spec_n = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    state_spec_m = pl.BlockSpec((1, d, m), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((1, num_batches, bs), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(
+        _epoch_kernel, num_batches=num_batches, b1=b1, b2=b2, eps=eps
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(r,),
+        in_specs=[
+            scalar_spec, scalar_spec, scalar_spec,
+            batch_spec, batch_spec, batch_spec, batch_spec, batch_spec,
+            state_spec_n, state_spec_m,
+            state_spec_n, state_spec_n, state_spec_m, state_spec_m,
+        ],
+        out_specs=[
+            state_spec_n, state_spec_m,
+            state_spec_n, state_spec_n, state_spec_m, state_spec_m,
+            scalar_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, d, n), _F32),
+            jax.ShapeDtypeStruct((r, d, m), _F32),
+            jax.ShapeDtypeStruct((r, d, n), _F32),
+            jax.ShapeDtypeStruct((r, d, n), _F32),
+            jax.ShapeDtypeStruct((r, d, m), _F32),
+            jax.ShapeDtypeStruct((r, d, m), _F32),
+            jax.ShapeDtypeStruct((r, 1), _F32),
+        ],
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5},
+    )(
+        lr.reshape(r, 1), wd.reshape(r, 1), step0.reshape(r, 1),
+        pu, pi, pj, z, mask,
+        state.u_t, state.v_t,
+        state.mu_u, state.nu_u, state.mu_v, state.nu_v,
+    )
+    new_state = EpochState(*out[:6])
+    return new_state, out[6][:, 0]
+
+
+def pallas_epoch_supported(n: int, m: int, d: int, num_batches: int,
+                           batch_size: int) -> bool:
+    """Conservative VMEM-fit check for the fused epoch kernel."""
+    def padded(rows, cols):
+        return ((rows + 7) // 8 * 8) * ((cols + 127) // 128 * 128) * 4
+
+    state_bytes = 3 * (padded(d, n) + padded(d, m))
+    batch_bytes = 5 * padded(num_batches, batch_size)  # actually [B, bs]
+    onehot_bytes = 3 * padded(batch_size, max(n, m))
+    total = state_bytes + batch_bytes + onehot_bytes
+    return total < 12 * 1024 * 1024  # leave headroom in ~16MB VMEM

@@ -1,0 +1,162 @@
+"""Batched, mesh-sharded sweep execution — the production fast path.
+
+Where the reference runs its hyperparameter grid as a sequential python loop
+(reference ``structure.py:160-171``), this module executes whole *shape
+buckets* of configurations as single XLA programs:
+
+    configs (same shapes) --vmap--> reps --vmap--> one fused run program
+            |                                     (generate X -> sample ->
+            +-- sharded over the device mesh       label -> train -> metrics)
+
+Traced hyperparameters (s, lr, weight_decay) vary freely inside a bucket;
+only shape-changing parameters split buckets.  On a TPU slice the bucket
+axis is sharded across chips with ``jax.jit`` output shardings — the runs
+are independent, so no collectives are emitted and scaling is linear
+(SURVEY §2.9: experiment-level DP).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfcd_tpu.core import rng
+from mfcd_tpu.core.config import RunConfig, SweepSpec, bucket_by_shape
+from mfcd_tpu.core.results import export_results
+from mfcd_tpu.sweep.engine import DEFAULT_SEED, _shape_only, _single_rep
+from mfcd_tpu.utils.io import append_results, reset_save_path
+
+
+def make_sweep_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over all (or n) devices for experiment-level DP."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("grid",))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, wd):
+    """[B] configs x [reps] repetitions in one program."""
+
+    def one_config(cfg_key, s_i, lr_i, wd_i):
+        keys = rng.rep_keys(cfg_key, cfg.reps)
+        return jax.vmap(lambda k: _single_rep(k, s_i, lr_i, wd_i, cfg))(keys)
+
+    return jax.vmap(one_config)(cfg_keys, s, lr, wd)
+
+
+def run_bucket(
+    cfg: RunConfig,
+    hyper_rows: Sequence[Dict[str, float]],
+    config_indices: Sequence[int],
+    seed: int = DEFAULT_SEED,
+    mesh: Optional[Mesh] = None,
+) -> List[Dict[str, Any]]:
+    """Run a same-shape bucket of configurations, optionally mesh-sharded.
+
+    ``hyper_rows`` carries the traced values ``{'s', 'lr', 'weight_decay'}``
+    per configuration; ``config_indices`` are global experiment indices for
+    key folding (so results are identical with or without batching).
+    """
+    b = len(hyper_rows)
+    pad = 0
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pad = (-b) % n_dev
+
+    idx = list(config_indices) + [config_indices[-1]] * pad
+    rows = list(hyper_rows) + [hyper_rows[-1]] * pad
+
+    base = jax.random.key(seed)
+    cfg_keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        np.asarray(idx, np.int32)
+    )
+    s = np.asarray([r["s"] for r in rows], np.float32)
+    lr = np.asarray([r["lr"] for r in rows], np.float32)
+    wd = np.asarray([r["weight_decay"] for r in rows], np.float32)
+
+    shape_cfg = _shape_only(cfg)
+    if mesh is None:
+        out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd)
+    else:
+        sharding = NamedSharding(mesh, P("grid"))
+        cfg_keys = jax.device_put(cfg_keys, sharding)
+        s = jax.device_put(s, sharding)
+        lr = jax.device_put(lr, sharding)
+        wd = jax.device_put(wd, sharding)
+        out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd)
+
+    host = {k: np.asarray(v) for k, v in out.items()}
+    results = []
+    for bi in range(b):
+        per_cfg = {k: v[bi] for k, v in host.items()}
+        counts = per_cfg.pop("sample_count")
+        for c in counts:
+            if int(c) < cfg.num_triplets:
+                print(
+                    f"⚠️ Only {int(c)} triplets generated for strategy: "
+                    f"{cfg.strategy} (target={cfg.num_triplets})"
+                )
+        results.append(export_results(per_cfg))
+    return results
+
+
+def parameter_scan_fast(
+    mesh: Optional[Mesh] = None,
+    save_path: Optional[str] = None,
+    save_every: Optional[int] = None,
+    linear: bool = False,
+    seed: int = DEFAULT_SEED,
+    batch_size: int = 64,
+    max_bucket: int = 64,
+    **params,
+) -> List[Dict[str, Any]]:
+    """Mesh-parallel ``parameter_scan`` with identical semantics and schema.
+
+    Groups the expanded grid into shape buckets, runs each bucket as one
+    (sharded) XLA program, and re-assembles results in grid order so the
+    output is interchangeable with the sequential scan.  ``max_bucket``
+    bounds device-memory use per program.
+    """
+    spec = SweepSpec(params=params, linear=linear, batch_size=batch_size)
+    param_sets = spec.expand()
+    configs = [RunConfig(batch_size=batch_size, **ps) for ps in param_sets]
+    buckets = bucket_by_shape(configs)
+
+    if save_path:
+        reset_save_path(save_path)
+
+    slot_results: List[Optional[Dict]] = [None] * len(configs)
+    for _sig, indices in buckets.items():
+        rep_cfg = configs[indices[0]]
+        for lo in range(0, len(indices), max_bucket):
+            chunk = indices[lo:lo + max_bucket]
+            rows = [
+                {
+                    "s": configs[i].s,
+                    "lr": configs[i].lr,
+                    "weight_decay": configs[i].weight_decay,
+                }
+                for i in chunk
+            ]
+            outs = run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh)
+            for i, res in zip(chunk, outs):
+                slot_results[i] = res
+
+    all_results = [
+        {"params": ps, "results": res}
+        for ps, res in zip(param_sets, slot_results)
+    ]
+    if save_path:
+        if save_every:
+            for lo in range(0, len(all_results), save_every):
+                append_results(save_path, all_results[lo:lo + save_every])
+        else:
+            append_results(save_path, all_results)
+        return []
+    return all_results

@@ -7,7 +7,10 @@ testing multi-node behavior without a cluster (SURVEY §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: a sitecustomize (PYTHONPATH=/root/.axon_site) force-sets
+# JAX_PLATFORMS=axon at interpreter startup, so a shell-level override is
+# not enough — set it here, before jax is imported.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

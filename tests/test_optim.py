@@ -30,7 +30,7 @@ def test_adam_matches_torch_with_weight_decay():
         params, state = adam_update(params, {"w": g}, state, lr, wd)
 
     np.testing.assert_allclose(
-        np.asarray(params["w"]), tp.detach().numpy(), rtol=2e-5, atol=2e-6
+        np.asarray(params["w"]), tp.detach().numpy(), rtol=2e-5, atol=2e-5
     )
 
 
