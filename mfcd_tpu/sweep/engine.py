@@ -20,6 +20,7 @@ from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mfcd_tpu.core import rng
@@ -40,16 +41,16 @@ def _shape_only(cfg: RunConfig) -> RunConfig:
     return dataclasses.replace(cfg, s=0.0, lr=0.0, weight_decay=0.0)
 
 
-def _single_rep(rep_key, s, lr, weight_decay, cfg: RunConfig) -> Dict:
-    """One repetition, fully on device (reference ``structure.py:348-417``)."""
+def _build_rep(rep_key, s, cfg: RunConfig):
+    """Per-rep data + init (reference ``structure.py:352-364``)."""
     streams = rng.rep_streams(rep_key)
     x = generate_x(streams["x_gen"], cfg.n, cfg.m, cfg.d, cfg.generation)
     ds = build_dataset(streams, x, cfg, s=s)
     params = init_params(streams["init"], cfg.n, cfg.m, cfg.d)
-    params, train_losses, val_losses = train_model(
-        params, ds.train, ds.val, streams["epochs"], lr, weight_decay,
-        batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-    )
+    return x, ds, params, streams
+
+
+def _metrics_rep(params, x, s, ds, streams, cfg, train_losses, val_losses):
     metrics = compute_all_metrics(
         params, x, s, ds.test, streams["sample_rows"],
         batch_size=cfg.batch_size,
@@ -60,23 +61,152 @@ def _single_rep(rep_key, s, lr, weight_decay, cfg: RunConfig) -> Dict:
     return metrics
 
 
+def _single_rep(rep_key, s, lr, weight_decay, cfg: RunConfig) -> Dict:
+    """One repetition, fully on device (reference ``structure.py:348-417``)."""
+    x, ds, params, streams = _build_rep(rep_key, s, cfg)
+    params, train_losses, val_losses = train_model(
+        params, ds.train, ds.val, streams["epochs"], lr, weight_decay,
+        batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+    )
+    return _metrics_rep(params, x, s, ds, streams, cfg,
+                        train_losses, val_losses)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def _run_config(cfg: RunConfig, cfg_key, s, lr, weight_decay) -> Dict:
-    """All repetitions of one configuration as a single vmapped program."""
-    keys = rng.rep_keys(cfg_key, cfg.reps)
+def _build_bucket(cfg: RunConfig, rep_keys2d, s):
+    """Stage 1: data + init for [B, R] runs.
+
+    Compile key: the data-shaping fields of ``cfg`` (n, m, d, p, K,
+    strategy, popularity_method, soft_label, generation, reps).
+    """
     return jax.vmap(
-        lambda k: _single_rep(k, s, lr, weight_decay, cfg)
-    )(keys)
+        lambda krow, s_i: jax.vmap(lambda k: _build_rep(k, s_i, cfg))(krow)
+    )(rep_keys2d, s)
+
+
+@partial(jax.jit, static_argnames=("batch_size", "num_epochs"))
+def _train_bucket_jnp(params, train, val, ekeys, lr, wd,
+                      batch_size: int, num_epochs: int):
+    """Stage 2 (jnp scan trainer): [B, R] runs.
+
+    Compile key: only (row counts, n, m, d, batch_size, num_epochs) — the
+    same executable serves every strategy and generation scheme.
+    """
+    def one_config(p_row, tr_row, va_row, ek_row, lr_i, wd_i):
+        return jax.vmap(
+            lambda p, tr, va, ek: train_model(
+                p, tr, va, ek, lr_i, wd_i,
+                batch_size=batch_size, num_epochs=num_epochs)
+        )(p_row, tr_row, va_row, ek_row)
+
+    return jax.vmap(one_config)(params, train, val, ekeys, lr, wd)
+
+
+@partial(jax.jit, static_argnames=("batch_size", "num_epochs"))
+def _train_bucket_pallas(params, train, val, ekeys, lr, wd,
+                         batch_size: int, num_epochs: int):
+    """Stage 2 (Pallas fused-epoch trainer): flatten [B, R] -> [B*R] runs."""
+    from mfcd_tpu.train.pallas_trainer import train_runs_pallas
+
+    b, r = lr.shape[0], params.U.shape[1]
+    flat = lambda t: jax.tree.map(
+        lambda a: a.reshape((b * r,) + a.shape[2:]), t)
+    params_out, tl, vl = train_runs_pallas(
+        flat(params), flat(train), flat(val), flat(ekeys),
+        jnp.repeat(lr.astype(jnp.float32), r),
+        jnp.repeat(wd.astype(jnp.float32), r),
+        batch_size=batch_size, num_epochs=num_epochs,
+    )
+    unflat = lambda t: jax.tree.map(
+        lambda a: a.reshape((b, r) + a.shape[1:]), t)
+    return unflat(params_out), tl.reshape(b, r, -1), vl.reshape(b, r, -1)
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def _metrics_bucket(params, x, s, test, rows_keys, sample_counts,
+                    tl, vl, batch_size: int):
+    """Stage 3: the fused metric block for [B, R] runs.
+
+    Compile key: (n, m, d, test rows, batch_size) — shared across
+    strategies and generation schemes.
+    """
+    def one_config(p_row, x_row, s_i, te_row, rk_row, sc_row, tl_row, vl_row):
+        def one_rep(p, xx, te, rk, sc, t_, v_):
+            metrics = compute_all_metrics(p, xx, s_i, te, rk,
+                                          batch_size=batch_size)
+            metrics["train_losses"] = t_
+            metrics["val_losses"] = v_
+            metrics["sample_count"] = sc
+            return metrics
+
+        return jax.vmap(one_rep)(
+            p_row, x_row, te_row, rk_row, sc_row, tl_row, vl_row)
+
+    return jax.vmap(one_config)(
+        params, x, s, test, rows_keys, sample_counts, tl, vl)
+
+
+def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
+                       use_pallas: bool = False) -> Dict:
+    """[B] configs x [reps] repetitions via three jitted stages.
+
+    The stages are jitted separately so the persistent compile cache is
+    compositional: training and metrics executables are keyed only on
+    shapes and are reused across every strategy / generation sweep; only
+    the data-build stage recompiles per sampling strategy.  Intermediates
+    stay on device (shardings propagate between stages).
+    """
+    r = cfg.reps
+    rep_keys2d = jax.jit(
+        jax.vmap(lambda ck: rng.rep_keys(ck, r)), static_argnums=()
+    )(cfg_keys)
+
+    x, ds, params, streams = _build_bucket(_shape_only(cfg), rep_keys2d, s)
+
+    train_fn = _train_bucket_pallas if use_pallas else _train_bucket_jnp
+    params, tl, vl = train_fn(
+        params, ds.train, ds.val, streams["epochs"], lr, weight_decay,
+        batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+    )
+
+    return _metrics_bucket(
+        params, x, s, ds.test, streams["sample_rows"], ds.sample.count,
+        tl, vl, batch_size=cfg.batch_size,
+    )
+
+
+def default_use_pallas(cfg: RunConfig) -> bool:
+    """Pallas fused-epoch trainer on TPU-like backends when state fits VMEM."""
+    import os
+
+    from mfcd_tpu.ops.kernels import pallas_epoch_supported
+
+    env = os.environ.get("MFCD_PALLAS")
+    if env == "0":
+        return False
+    shapes = cfg.shapes()
+    supported = pallas_epoch_supported(
+        cfg.n, cfg.m, cfg.d, shapes.train_batches, cfg.batch_size
+    )
+    if env == "1":
+        return supported
+    return supported and jax.devices()[0].platform != "cpu"
 
 
 def run_config(cfg: RunConfig, seed: int = DEFAULT_SEED,
-               config_index: int = 0) -> Dict[str, Any]:
-    """Run one RunConfig; returns the reference 22-key results dict."""
+               config_index: int = 0,
+               use_pallas: Optional[bool] = None) -> Dict[str, Any]:
+    """Run one RunConfig; returns the reference results dict."""
+    if use_pallas is None:
+        use_pallas = default_use_pallas(cfg)
     cfg_key = rng.config_key(jax.random.key(seed), config_index)
-    device_out = _run_config(
-        _shape_only(cfg), cfg_key,
-        np.float32(cfg.s), np.float32(cfg.lr), np.float32(cfg.weight_decay),
+    device_out = _run_bucket_device(
+        _shape_only(cfg), cfg_key[None],
+        np.asarray([cfg.s], np.float32), np.asarray([cfg.lr], np.float32),
+        np.asarray([cfg.weight_decay], np.float32),
+        use_pallas=use_pallas,
     )
+    device_out = {k: v[0] for k, v in device_out.items()}
     counts = np.asarray(device_out.pop("sample_count"))
     target = cfg.num_triplets
     for rep, c in enumerate(counts):
@@ -117,7 +247,7 @@ def parameter_scan(
     open_browser=False, linear=False, K=1, d1=None,
     save_path: Optional[str] = None, save_every: Optional[int] = None,
     popularity_method="zipf", alpha=1.5, soft_label=False, generation="base",
-    seed: int = DEFAULT_SEED, batch_size: int = 64,
+    seed: int = DEFAULT_SEED, batch_size: int = 64, resume: bool = False,
 ) -> List[Dict[str, Any]]:
     """Grid / linear hyperparameter scan (reference ``structure.py:81-255``).
 
@@ -127,6 +257,9 @@ def parameter_scan(
     ``save_every`` experiments; a pre-existing ``save_path`` is removed at
     scan start, and (reference quirk preserved) the returned list is empty
     when everything was flushed to disk.
+
+    ``resume=True`` (extension; SURVEY §5.3 preemption recovery) keeps the
+    existing file and skips configurations already recorded in it.
     """
     spec = SweepSpec(
         params={
@@ -145,11 +278,22 @@ def parameter_scan(
             "not synchronized."
         )
 
+    done: List[Dict[str, Any]] = []
     if save_path:
-        reset_save_path(save_path)
+        if resume:
+            from mfcd_tpu.utils.io import completed_param_sets
+
+            done = completed_param_sets(save_path)
+            if done:
+                print(f"🔁 Resuming: {len(done)} experiments already in "
+                      f"{save_path}")
+        else:
+            reset_save_path(save_path)
 
     all_results: List[Dict[str, Any]] = []
     for experiment_index, param_set in enumerate(spec.expand()):
+        if param_set in done:
+            continue
         print(f"\nRunning experiment with parameters: {param_set}")
         cfg = RunConfig(batch_size=batch_size, **param_set)
         results = run_config(cfg, seed=seed, config_index=experiment_index)

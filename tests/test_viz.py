@@ -1,0 +1,117 @@
+"""Visualization suite smoke tests over a synthetic results schema."""
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from mfcd_tpu.viz import plots as viz
+
+
+def _fake_results():
+    rng = np.random.default_rng(0)
+    results = []
+    for p in (0.1, 0.2):
+        for s in (1.0, 5.0):
+            for wd in (1e-5, 1e-3):
+                reps = 3
+                results.append({
+                    "params": {
+                        "n": 100, "m": 100, "d": 2, "p": p, "s": s,
+                        "lr": 1e-3, "weight_decay": wd, "num_epochs": 4,
+                        "reps": reps, "K": 1, "d1": None,
+                        "strategy": "random", "popularity_method": "zipf",
+                        "alpha": 1.5, "soft_label": False,
+                        "generation": "base",
+                    },
+                    "results": {
+                        "accuracy": list(rng.uniform(0.5, 0.9, reps)),
+                        "gt_accuracy": list(rng.uniform(0.7, 0.95, reps)),
+                        "reconstruction_errors": list(rng.uniform(0.2, 1.0, reps)),
+                        "train_losses": [list(np.linspace(0.7, 0.3, 4))] * reps,
+                        "val_losses": [list(np.linspace(0.72, 0.4, 4))] * reps,
+                        "pearson_corr": list(rng.uniform(0, 1, reps)),
+                        "slopes": [list(rng.normal(size=5))] * reps,
+                    },
+                })
+    return results
+
+
+RESULTS = _fake_results()
+
+
+def test_format_display_name_aliases():
+    assert viz.format_display_name("proximity") == "Max-Min"
+    assert viz.format_display_name("margin") == "Close-Call"
+    assert viz.format_display_name("top_k") == r"Top 10\%"
+    assert viz.format_display_name("gt_accuracy") == "GT Accuracy"
+    assert viz.format_display_name("some_new_metric") == "Some New Metric"
+
+
+def test_get_best_params():
+    params, idx = viz.get_best_params(RESULTS, "accuracy")
+    best = max(
+        max(r["results"]["accuracy"]) for r in RESULTS
+    )
+    assert max(RESULTS[idx]["results"]["accuracy"]) == best
+    # loss-like metric minimizes
+    params, idx = viz.get_best_params(RESULTS, "reconstruction_errors")
+    best = min(min(r["results"]["reconstruction_errors"]) for r in RESULTS)
+    assert min(RESULTS[idx]["results"]["reconstruction_errors"]) == best
+
+
+def test_enrich_params():
+    out = viz.enrich_params_with_data_points([
+        {"params": {"n": 100, "m": 200, "p": 0.5}}
+    ])
+    assert out[0]["params"]["num_data_points"] == 100 * 200 * 0.5 * 0.5
+
+
+def test_plot_functions_render(tmp_path):
+    out = str(tmp_path / "fig")
+    viz.plot_metrics_vs_param(
+        RESULTS, "p", ["accuracy"], group_by="s", split_by="weight_decay",
+        save_path=out, show_plot=False,
+    )
+    assert (tmp_path / "fig.png").exists()
+
+    viz.plot_losses(RESULTS, param_index=0, save_path=str(tmp_path / "l"),
+                    show_plot=False)
+    assert (tmp_path / "l.png").exists()
+
+    viz.plot_heatmap_best_fixed(
+        RESULTS, "p", "s", "accuracy", save_path=str(tmp_path / "hm"),
+        show_plot=False,
+    )
+    assert (tmp_path / "hm.png").exists()
+
+    viz.plot_all_heatmaps(
+        RESULTS, "p", "s", "accuracy", save_path=str(tmp_path / "all"),
+        show_plot=False,
+    )
+    assert (tmp_path / "all.png").exists()
+
+    viz.plot_optimal_param_vs_x(
+        RESULTS, "s", "weight_decay", "accuracy", group_by="p",
+        save_path=str(tmp_path / "opt"), show_plot=False,
+    )
+    assert (tmp_path / "opt.png").exists()
+
+    viz.plot_histograms_from_results(
+        RESULTS, "slopes", group_by="s", save_path=str(tmp_path / "hist"),
+        show_plot=False,
+    )
+    assert (tmp_path / "hist.png").exists()
+
+
+def test_find_fixed_indices():
+    idx = viz.find_fixed_indices(RESULTS, "p", "s")
+    assert len(idx) == 2  # one per weight_decay
+
+
+def test_smart_formatter():
+    assert viz.smart_formatter(0) == "0"
+    assert viz.smart_formatter(0.5) == "0.5"
+    assert "10^" in viz.smart_formatter(1e-5)
