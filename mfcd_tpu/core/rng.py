@@ -26,6 +26,19 @@ def split_key() -> jax.Array:
     return jax.random.key(SPLIT_SEED)
 
 
+def split_permutation(t: int):
+    """Deterministic seed-42 permutation of [0, t), computed on host.
+
+    Mirrors the reference's fixed-generator ``random_split``
+    (``structure.py:710-713``): identical across reps and configs for a
+    given triplet count.  Computed with numpy at trace time so no device
+    sort is compiled (TPU sorts at this size cost minutes of compile).
+    """
+    import numpy as np
+
+    return np.random.default_rng(SPLIT_SEED).permutation(t).astype(np.int32)
+
+
 # Named streams drawn from one rep key.  Order is part of the protocol:
 # changing it changes every downstream draw.
 STREAMS = (

@@ -114,7 +114,7 @@ def build_dataset(
     )
 
     splits = split_triplets(
-        sample, rng.split_key(),
+        sample, jnp.asarray(rng.split_permutation(t)),
         train_cap=shapes.train_triplets,
         val_cap=shapes.val_triplets,
         test_cap=shapes.test_triplets,

@@ -67,14 +67,14 @@ class EpochState(NamedTuple):
 
 
 def _epoch_kernel(
-    # scalar-prefetch / SMEM operands
-    lr_ref, wd_ref, step0_ref,
+    # SMEM scalar operands (full [R, 1] blocks indexed by program_id)
+    lr_ref, wd_ref, step0_ref, count_ref,
     # tensor operands
-    pu_ref, pi_ref, pj_ref, z_ref, mask_ref,
+    pu_ref, pi_ref, pj_ref, z_ref,
     u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in,
     # outputs (state aliased to inputs, plus the epoch loss)
     u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out, loss_out,
-    *, num_batches: int, b1: float, b2: float, eps: float,
+    *, b1: float, b2: float, eps: float,
 ):
     del u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in  # aliased to outputs
     d, n = u_out.shape[1], u_out.shape[2]
@@ -84,6 +84,10 @@ def _epoch_kernel(
     lr = lr_ref[run, 0]
     wd = wd_ref[run, 0]
     step0 = step0_ref[run, 0]
+    count = count_ref[run, 0]
+    # Dynamic trip count: only batches containing valid rows execute
+    # (matches the reference loader's len = ceil(count / batch)).
+    num_exec = (count + bs - 1) // bs
     log_b1 = jnp.log(jnp.float32(b1))
     log_b2 = jnp.log(jnp.float32(b2))
 
@@ -101,13 +105,13 @@ def _epoch_kernel(
             preferred_element_type=_F32,
         )
 
-    def body(t, carry):
-        loss_sum, nonempty = carry
+    def body(t, loss_sum):
         idx_u = pu_ref[0, t, :]
         idx_i = pi_ref[0, t, :]
         idx_j = pj_ref[0, t, :]
         z = z_ref[0, t, :].reshape(1, bs)
-        mask = mask_ref[0, t, :].reshape(1, bs)
+        slots = t * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        mask = (slots < count).astype(_F32)
 
         oh_u = (jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1)
                 == idx_u[:, None]).astype(_F32)
@@ -135,8 +139,8 @@ def _epoch_kernel(
         grad_u = scatter(g_u_rows, oh_u)           # [d, n]
         grad_v = scatter(g_v_rows, oh_i) - scatter(g_v_rows, oh_j)
 
-        # torch-Adam with coupled weight decay; skip empty batches.
-        has_rows = cnt > 0
+        # torch-Adam with coupled weight decay.  Every executed batch holds
+        # at least one valid row by construction, so no empty-batch gating.
         t_step = step0 + (t + 1).astype(_F32)
         bc1 = 1.0 - jnp.exp(t_step * log_b1)
         bc2 = 1.0 - jnp.exp(t_step * log_b2)
@@ -146,33 +150,28 @@ def _epoch_kernel(
             grad = grad + wd * p
             mu = b1 * mu_ref[0] + (1.0 - b1) * grad
             nu = b2 * nu_ref[0] + (1.0 - b2) * grad * grad
-            new_p = p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
-            sel = jnp.where(has_rows, 1.0, 0.0)
-            p_ref[0] = p + sel * (new_p - p)
-            mu_ref[0] = mu_ref[0] + sel * (mu - mu_ref[0])
-            nu_ref[0] = nu_ref[0] + sel * (nu - nu_ref[0])
+            p_ref[0] = p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            mu_ref[0] = mu
+            nu_ref[0] = nu
 
         update(u_out, mu_u_out, nu_u_out, grad_u)
         update(v_out, mu_v_out, nu_v_out, grad_v)
+        return loss_sum + loss
 
-        ne = jnp.where(has_rows, 1.0, 0.0)
-        return loss_sum + loss * ne, nonempty + ne
-
-    loss_sum, nonempty = jax.lax.fori_loop(
-        0, num_batches, body, (jnp.float32(0.0), jnp.float32(0.0))
-    )
-    loss_out[pl.program_id(0), 0] = loss_sum / jnp.maximum(nonempty, 1.0)
+    loss_sum = jax.lax.fori_loop(0, num_exec, body, jnp.float32(0.0))
+    loss_out[pl.program_id(0), 0] = loss_sum / jnp.maximum(
+        num_exec.astype(_F32), 1.0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_batches", "b1", "b2", "eps", "interpret")
+    jax.jit, static_argnames=("b1", "b2", "eps", "interpret")
 )
 def pallas_train_epoch(
     state: EpochState,
     pu, pi, pj,        # [R, B, bs] int32 permuted row/item indices
-    z, mask,           # [R, B, bs] f32
+    z,                 # [R, B, bs] f32 labels
     lr, wd, step0,     # [R] f32 (step0 = Adam step count before this epoch)
-    num_batches: int,
+    count,             # [R] int32 valid-row counts
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -185,6 +184,7 @@ def pallas_train_epoch(
     """
     r, d, n = state.u_t.shape
     m = state.v_t.shape[2]
+    num_batches = pu.shape[1]
     bs = pu.shape[2]
 
     state_spec_n = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0),
@@ -199,16 +199,14 @@ def pallas_train_epoch(
     scalar_spec = pl.BlockSpec((r, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
 
-    kernel = functools.partial(
-        _epoch_kernel, num_batches=num_batches, b1=b1, b2=b2, eps=eps
-    )
+    kernel = functools.partial(_epoch_kernel, b1=b1, b2=b2, eps=eps)
 
     out = pl.pallas_call(
         kernel,
         grid=(r,),
         in_specs=[
-            scalar_spec, scalar_spec, scalar_spec,
-            batch_spec, batch_spec, batch_spec, batch_spec, batch_spec,
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            batch_spec, batch_spec, batch_spec, batch_spec,
             state_spec_n, state_spec_m,
             state_spec_n, state_spec_n, state_spec_m, state_spec_m,
         ],
@@ -230,7 +228,8 @@ def pallas_train_epoch(
         interpret=interpret,
     )(
         lr.reshape(r, 1), wd.reshape(r, 1), step0.reshape(r, 1),
-        pu, pi, pj, z, mask,
+        count.astype(jnp.int32).reshape(r, 1),
+        pu, pi, pj, z,
         state.u_t, state.v_t,
         state.mu_u, state.nu_u, state.mu_v, state.nu_v,
     )

@@ -42,6 +42,10 @@ class TripletSet(NamedTuple):
         return jnp.arange(self.triplets.shape[0]) < self.count
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def select_unique(
     cands: jax.Array,
     valid: jax.Array,
@@ -49,6 +53,7 @@ def select_unique(
     exclude: Optional[jax.Array] = None,
     exclude_valid: Optional[jax.Array] = None,
     nm_shape: Optional[tuple] = None,
+    method: str = "auto",
 ) -> TripletSet:
     """First-occurrence selection of unique valid triplets.
 
@@ -59,14 +64,28 @@ def select_unique(
       exclude: optional [E, 3] forbidden triplets (the reference's
         ``exclude`` set), with optional [E] mask ``exclude_valid``.
       nm_shape: optional static (n, m).  When ``n*m*m < 2^31`` the triplet
-        packs into one int32 and dedup runs as a single stable argsort —
-        compiling ~4x faster on TPU than the 4-key lexsort fallback.
+        packs into one int32, enabling the fast paths.
+      method: "hash" (default when packable) — exact-uniqueness scatter-min
+        winner selection on a hash table; a ~M/H fraction of *distinct*
+        candidates is dropped by slot collisions (uniform thinning of the
+        overdraw, covered by its safety margin), but duplicates can never
+        both survive.  Compiles in seconds where TPU sorts take minutes.
+        "sort" — exact sequential-rejection semantics via one stable sort.
+        "auto" — hash when packable, sort otherwise.
     """
     m_cand = cands.shape[0]
     packed_ok = (
         nm_shape is not None
         and int(nm_shape[0]) * int(nm_shape[1]) * int(nm_shape[1]) < 2**31
     )
+    if method == "auto":
+        method = "hash" if packed_ok else "sort"
+    if method == "hash" and not packed_ok:
+        raise ValueError("hash dedup requires packable (n, m)")
+
+    if method == "hash":
+        return _select_unique_hashed(
+            cands, valid, target, exclude, exclude_valid, nm_shape)
 
     rows = jnp.where(valid[:, None], cands.astype(jnp.int32), _SENT)
     order = jnp.arange(m_cand, dtype=jnp.int32)
@@ -115,6 +134,11 @@ def select_unique(
     # Back to draw order, then compact the kept rows to the front.
     keep = jnp.zeros(rows.shape[0], dtype=bool).at[sort_idx].set(keep_sorted)
     keep = keep[-m_cand:]
+    return _compact(cands, keep, target)
+
+
+def _compact(cands: jax.Array, keep: jax.Array, target: int) -> TripletSet:
+    """Scatter kept rows (in draw order) into the first slots."""
     pos = jnp.cumsum(keep) - 1
     count = jnp.minimum(jnp.sum(keep), target).astype(jnp.int32)
     scatter_to = jnp.where(keep & (pos < target), pos, target)
@@ -122,6 +146,56 @@ def select_unique(
         cands.astype(jnp.int32), mode="drop"
     )
     return TripletSet(out, count)
+
+
+def _select_unique_hashed(
+    cands, valid, target, exclude, exclude_valid, nm_shape
+) -> TripletSet:
+    """Exact-uniqueness winner selection via scatter-min on a hash table.
+
+    Every triplet hashes to one slot; scatter-min of the draw order makes
+    the earliest occupant the slot's winner.  Duplicate triplets share a
+    slot, so at most one survives (exact uniqueness, first-occurrence).
+    Exclude entries carry order -1 and always win their slot, vetoing any
+    candidate equal to them.  Distinct triplets that collide lose a slot
+    too — a uniform ~M/H thinning absorbed by the overdraw margin — which
+    is the one (documented) divergence from sequential-rejection sampling.
+    """
+    m_cand = cands.shape[0]
+    n, m = int(nm_shape[0]), int(nm_shape[1])
+    packed = (
+        (cands[:, 0].astype(jnp.int32) * m + cands[:, 1]) * m + cands[:, 2]
+    )
+    order = jnp.arange(m_cand, dtype=jnp.int32)
+
+    if exclude is not None:
+        ex = exclude.astype(jnp.int32)
+        ex_packed = (ex[:, 0] * m + ex[:, 1]) * m + ex[:, 2]
+        ex_valid = (
+            exclude_valid if exclude_valid is not None
+            else jnp.ones(ex.shape[0], dtype=bool)
+        )
+        all_packed = jnp.concatenate([ex_packed, packed])
+        all_order = jnp.concatenate(
+            [jnp.full((ex.shape[0],), -1, jnp.int32), order])
+        all_valid = jnp.concatenate([ex_valid, valid])
+    else:
+        all_packed, all_order, all_valid = packed, order, valid
+
+    bits = min(max((16 * all_packed.shape[0] - 1).bit_length(), 20), 24)
+    h = 1 << bits
+    slot = (
+        (all_packed.astype(jnp.uint32) * jnp.uint32(2654435761))
+        >> jnp.uint32(32 - bits)
+    ).astype(jnp.int32)
+    # Invalid rows never contend for a slot.
+    slot = jnp.where(all_valid, slot, h)
+
+    table = jnp.full((h,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    table = table.at[slot].min(all_order, mode="drop")
+    winner = (table[jnp.minimum(slot, h - 1)] == all_order) & all_valid
+    keep = winner[-m_cand:]
+    return _compact(cands, keep, target)
 
 
 class SplitArrays(NamedTuple):
@@ -137,7 +211,7 @@ class SplitArrays(NamedTuple):
 
 def split_triplets(
     sample: TripletSet,
-    split_key: jax.Array,
+    perm: jax.Array,
     train_cap: int,
     val_cap: int,
     test_cap: int,
@@ -148,12 +222,12 @@ def split_triplets(
 
     Mirrors ``torch.utils.data.random_split`` under the fixed seed 42
     (reference ``structure.py:704-718``): sizes are computed from the
-    *actual* number of unique triplets, a seeded permutation assigns
-    membership, and each split keeps the permuted order.
+    *actual* number of unique triplets, a fixed-seed permutation (``perm``,
+    see :func:`mfcd_tpu.core.rng.split_permutation`) assigns membership,
+    and each split keeps the permuted order.
     """
     t = sample.triplets.shape[0]
     count = sample.count
-    perm = jax.random.permutation(split_key, t)
     permuted = sample.triplets[perm]
     perm_valid = perm < count  # valid rows live in the first `count` slots
 

@@ -26,7 +26,8 @@ import numpy as np
 from mfcd_tpu.core import rng
 from mfcd_tpu.core.config import RunConfig, SweepSpec
 from mfcd_tpu.core.results import export_results
-from mfcd_tpu.data.btl import build_dataset
+from mfcd_tpu.data.btl import LabeledSplit, build_dataset
+from mfcd_tpu.sampling.dedup import _next_pow2
 from mfcd_tpu.eval.metrics import compute_all_metrics
 from mfcd_tpu.genx import generate_x
 from mfcd_tpu.models.mf import init_params
@@ -146,15 +147,36 @@ def _metrics_bucket(params, x, s, test, rows_keys, sample_counts,
         params, x, s, test, rows_keys, sample_counts, tl, vl)
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def _pad_rows(split: LabeledSplit, rows: int) -> LabeledSplit:
+    """Pad a split's row axis (last dim) to ``rows``; counts unchanged.
+
+    Rows are padded to powers of two at stage boundaries so one trainer /
+    metrics executable serves every sparsity value in a sweep; the dynamic
+    batch trip counts make padding free at runtime.
+    """
+    pad = rows - split.u.shape[-1]
+    if pad == 0:
+        return split
+    grow = lambda a, fill: jnp.pad(
+        a, [(0, 0)] * (a.ndim - 1) + [(0, pad)], constant_values=fill)
+    return LabeledSplit(
+        u=grow(split.u, 0), i=grow(split.i, 0), j=grow(split.j, 0),
+        z=grow(split.z, 0.0), valid=grow(split.valid, False),
+        count=split.count,
+    )
+
+
 def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
                        use_pallas: bool = False) -> Dict:
     """[B] configs x [reps] repetitions via three jitted stages.
 
     The stages are jitted separately so the persistent compile cache is
     compositional: training and metrics executables are keyed only on
-    shapes and are reused across every strategy / generation sweep; only
-    the data-build stage recompiles per sampling strategy.  Intermediates
-    stay on device (shardings propagate between stages).
+    (power-of-two-padded) shapes and are reused across every strategy /
+    generation / sparsity sweep; only the data-build stage recompiles per
+    (strategy, triplet budget).  Intermediates stay on device (shardings
+    propagate between stages).
     """
     r = cfg.reps
     rep_keys2d = jax.jit(
@@ -163,14 +185,18 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
 
     x, ds, params, streams = _build_bucket(_shape_only(cfg), rep_keys2d, s)
 
+    train = _pad_rows(ds.train, _next_pow2(ds.train.u.shape[-1]))
+    val = _pad_rows(ds.val, _next_pow2(ds.val.u.shape[-1]))
+    test = _pad_rows(ds.test, _next_pow2(ds.test.u.shape[-1]))
+
     train_fn = _train_bucket_pallas if use_pallas else _train_bucket_jnp
     params, tl, vl = train_fn(
-        params, ds.train, ds.val, streams["epochs"], lr, weight_decay,
+        params, train, val, streams["epochs"], lr, weight_decay,
         batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
     )
 
     return _metrics_bucket(
-        params, x, s, ds.test, streams["sample_rows"], ds.sample.count,
+        params, x, s, test, streams["sample_rows"], ds.sample.count,
         tl, vl, batch_size=cfg.batch_size,
     )
 

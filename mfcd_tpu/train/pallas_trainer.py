@@ -4,13 +4,16 @@ Drop-in alternative to :func:`mfcd_tpu.train.trainer.train_model` that
 trains a whole stack of runs (configs x reps flattened to one leading axis)
 with one Pallas kernel launch per epoch (see
 :func:`mfcd_tpu.ops.kernels.pallas_train_epoch`).  Semantics are identical
-to the jnp trainer — same shuffles, same batch means, same coupled-wd Adam —
-verified by equivalence tests (interpret mode on CPU).
+to the jnp trainer — same keyed-bijection shuffles, same dynamic batch trip
+counts, same batch means, same coupled-wd Adam — verified by equivalence
+tests (interpret mode on CPU).
 
 Epoch flow (inside one ``lax.scan`` over epochs):
-  1. per-run shuffle of the valid training rows (invalid rows sort last),
-  2. gather the permuted (u, i, j, z, mask) into [R, B, bs] batch tensors,
+  1. per-run sort-free shuffle (``mfcd_tpu.ops.shuffle``) of the valid
+     training rows onto sequential batch slots,
+  2. gather the permuted (u, i, j, z) into [R, B, bs] batch tensors,
   3. one ``pallas_train_epoch`` call trains every run's epoch on-chip,
+     executing only the ceil(count/bs) batches that hold valid rows,
   4. a vectorized masked validation pass records the per-epoch val loss.
 """
 
@@ -25,27 +28,8 @@ import jax.numpy as jnp
 from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams
 from mfcd_tpu.ops.kernels import EpochState, pallas_train_epoch
+from mfcd_tpu.ops.shuffle import epoch_permutation
 from mfcd_tpu.train.trainer import batch_losses
-
-
-def _prep_epoch_batches(split: LabeledSplit, key, num_batches, batch_size):
-    """Shuffle one run's rows (valid first, random order) into [B, bs]."""
-    rows = split.u.shape[0]
-    padded = num_batches * batch_size
-    pad = padded - rows
-    u = jnp.pad(split.u, (0, pad))
-    i = jnp.pad(split.i, (0, pad))
-    j = jnp.pad(split.j, (0, pad))
-    z = jnp.pad(split.z, (0, pad))
-    valid = jnp.pad(split.valid, (0, pad), constant_values=False)
-    sort_key = jax.random.uniform(key, (padded,)) + jnp.where(valid, 0.0, 2.0)
-    perm = jnp.argsort(sort_key)
-    shape = (num_batches, batch_size)
-    return (
-        u[perm].reshape(shape), i[perm].reshape(shape),
-        j[perm].reshape(shape), z[perm].reshape(shape),
-        valid[perm].astype(jnp.float32).reshape(shape),
-    )
 
 
 @partial(
@@ -68,6 +52,8 @@ def train_runs_pallas(
     m = params.V.shape[1]
     rows = train.u.shape[1]
     num_batches = -(-rows // batch_size)
+    padded = num_batches * batch_size
+    k_bits = max(rows - 1, 1).bit_length()
 
     state = EpochState(
         u_t=jnp.swapaxes(params.U, 1, 2),
@@ -78,31 +64,34 @@ def train_runs_pallas(
         nu_v=jnp.zeros((r, d, m), jnp.float32),
     )
 
-    # Adam steps advance only on non-empty batches; valid rows are compacted
-    # to the front of every shuffle, so per-epoch step count is static-shaped
-    # data: ceil(valid_count / bs).
+    count = train.count.astype(jnp.int32)                      # [R]
     nonempty_batches = jnp.ceil(
-        train.count.astype(jnp.float32) / batch_size
-    )
-
+        count.astype(jnp.float32) / batch_size)                # [R]
     lr = lr.astype(jnp.float32)
     wd = weight_decay.astype(jnp.float32)
+    slots = jnp.arange(padded, dtype=jnp.int32)
+
+    def gather_run(tr_u, tr_i, tr_j, tr_z, cnt, kperm):
+        rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
+        shape = (num_batches, batch_size)
+        return (
+            tr_u[rows_sel].reshape(shape),
+            tr_i[rows_sel].reshape(shape),
+            tr_j[rows_sel].reshape(shape),
+            tr_z[rows_sel].reshape(shape),
+        )
 
     def epoch_step(carry, epoch_idx):
         state = carry
         keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch_idx))(
             epochs_keys)
-        pu, pi, pj, z, mask = jax.vmap(
-            lambda tr_u, tr_i, tr_j, tr_z, tr_v, k: _prep_epoch_batches(
-                LabeledSplit(tr_u, tr_i, tr_j, tr_z, tr_v, None),
-                k, num_batches, batch_size,
-            )
-        )(train.u, train.i, train.j, train.z, train.valid, keys)
+        pu, pi, pj, z = jax.vmap(gather_run)(
+            train.u, train.i, train.j, train.z, count, keys)
 
         step0 = epoch_idx.astype(jnp.float32) * nonempty_batches
         state, train_loss = pallas_train_epoch(
-            state, pu, pi, pj, z, mask, lr, wd, step0,
-            num_batches=num_batches, interpret=interpret,
+            state, pu, pi, pj, z, lr, wd, step0, count,
+            interpret=interpret,
         )
 
         epoch_params = MFParams(

@@ -1,17 +1,23 @@
-"""On-device training loop — ``lax.scan`` over epochs x minibatches.
+"""On-device training loop — dynamic-bound epochs, sort-free shuffles.
 
 Capability match for ``train_model`` (reference ``structure.py:812-878``):
 per epoch, shuffle the training rows, iterate batch-size-64 minibatches,
 BCE loss, Adam step; then a no-grad validation pass; per-epoch train/val
 losses are means of per-batch means.  Where torch replays a host-driven
 eager loop per batch, the whole multi-epoch run here is one compiled XLA
-program with on-device shuffles — no host round-trips.
+program — no host round-trips.
 
-Masking rules reproducing the DataLoader semantics:
-- shuffles permute only the valid rows (invalid/padding rows sort last),
-- each batch mean is over its valid rows,
-- epoch losses average over non-empty batches, matching
-  ``total_loss / len(loader)`` (reference ``structure.py:854,867``).
+TPU-native design choices:
+- the per-epoch shuffle is a keyed pseudorandom bijection walked onto the
+  valid prefix (``mfcd_tpu.ops.shuffle``) instead of an argsort — TPU sorts
+  at 1e5 elements cost minutes of *compile* time per shape,
+- the batch loop is a ``fori_loop`` whose trip count is the *dynamic*
+  ``ceil(valid_count / batch_size)`` — padded rows cost nothing, so arrays
+  can be padded to coarse shape buckets and one executable serves a whole
+  sparsity sweep,
+- masking reproduces the DataLoader semantics exactly: batch means over
+  valid rows, epoch losses averaged over the executed batches, Adam steps
+  advance once per executed batch (matching ``len(loader)``).
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ import jax.numpy as jnp
 from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams, forward_logits
 from mfcd_tpu.ops.losses import bce_with_logits
-from mfcd_tpu.ops.optim import AdamState, adam_init, adam_update
+from mfcd_tpu.ops.optim import adam_init, adam_update
+from mfcd_tpu.ops.shuffle import epoch_permutation
 
 
 def _pad_to_batches(split: LabeledSplit, batch_size: int):
@@ -46,7 +53,11 @@ def _pad_to_batches(split: LabeledSplit, batch_size: int):
 
 
 def batch_losses(params: MFParams, split: LabeledSplit, batch_size: int):
-    """Per-batch masked mean BCE + the epoch average over non-empty batches."""
+    """Per-batch masked mean BCE + the epoch average over non-empty batches.
+
+    Valid rows are compacted at the front of every split, so this equals
+    the reference's sequential-loader mean-of-batch-means exactly.
+    """
     u, i, j, z, valid = _pad_to_batches(split, batch_size)
     logits = forward_logits(params, u, i, j)
     losses = bce_with_logits(logits, z)
@@ -73,56 +84,42 @@ def train_model(
 ) -> Tuple[MFParams, jax.Array, jax.Array]:
     """Train and return ``(params, train_losses [E], val_losses [E])``."""
     rows = train.u.shape[0]
-    num_batches = -(-rows // batch_size)
-    padded = num_batches * batch_size
+    k_bits = max(rows - 1, 1).bit_length()  # 2^k >= rows
 
-    tr_u = jnp.pad(train.u, (0, padded - rows))
-    tr_i = jnp.pad(train.i, (0, padded - rows))
-    tr_j = jnp.pad(train.j, (0, padded - rows))
-    tr_z = jnp.pad(train.z, (0, padded - rows))
-    tr_valid = jnp.pad(train.valid, (0, padded - rows), constant_values=False)
+    count = train.count.astype(jnp.int32)
+    num_exec = jnp.ceil(count.astype(jnp.float32) / batch_size).astype(
+        jnp.int32)
 
     def loss_fn(p, u, i, j, z, mask):
         logits = forward_logits(p, u, i, j)
         losses = bce_with_logits(logits, z)
         cnt = jnp.sum(mask)
         loss = jnp.sum(jnp.where(mask, losses, 0.0)) / jnp.maximum(cnt, 1)
-        return loss, cnt
+        return loss
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn)
 
     def epoch_step(carry, epoch_idx):
         p, opt = carry
         kperm = jax.random.fold_in(epochs_key, epoch_idx)
-        # Random order among valid rows; padding/invalid rows sort last.
-        sort_key = jax.random.uniform(kperm, (padded,)) + jnp.where(
-            tr_valid, 0.0, 2.0
-        )
-        perm = jnp.argsort(sort_key).reshape(num_batches, batch_size)
 
-        def batch_step(carry, batch_idx):
-            p, opt = carry
-            bu = tr_u[batch_idx]
-            bi = tr_i[batch_idx]
-            bj = tr_j[batch_idx]
-            bz = tr_z[batch_idx]
-            bm = tr_valid[batch_idx]
-            (loss, cnt), grads = grad_fn(p, bu, bi, bj, bz, bm)
-            nonempty = cnt > 0
-            # Skip the update for fully-padded batches (only occurs when a
-            # constrained sampler fell short of its budget).
-            p2, opt2 = adam_update(p, grads, opt, lr, weight_decay)
-            p = jax.tree.map(
-                lambda a, b: jnp.where(nonempty, b, a), p, p2)
-            opt = jax.tree.map(
-                lambda a, b: jnp.where(nonempty, b, a), opt, opt2)
-            return (p, opt), (loss, nonempty)
+        def batch_step(t, carry):
+            p, opt, loss_sum = carry
+            slots = t * batch_size + jnp.arange(batch_size)
+            rows_sel = epoch_permutation(kperm, slots, count, k_bits)
+            mask = slots < count  # valid rows occupy [0, count)
+            bu = train.u[rows_sel]
+            bi = train.i[rows_sel]
+            bj = train.j[rows_sel]
+            bz = train.z[rows_sel]
+            loss, grads = grad_fn(p, bu, bi, bj, bz, mask)
+            p, opt = adam_update(p, grads, opt, lr, weight_decay)
+            return p, opt, loss_sum + loss
 
-        (p, opt), (losses, nonempty) = jax.lax.scan(
-            batch_step, (p, opt), perm)
-        train_loss = jnp.sum(jnp.where(nonempty, losses, 0.0)) / jnp.maximum(
-            jnp.sum(nonempty), 1
+        p, opt, loss_sum = jax.lax.fori_loop(
+            0, num_exec, batch_step, (p, opt, jnp.float32(0.0))
         )
+        train_loss = loss_sum / jnp.maximum(num_exec, 1)
         _, val_loss = batch_losses(p, val, batch_size)
         return (p, opt), (train_loss, val_loss)
 

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from mfcd_tpu.genx import generate_x
+from mfcd_tpu.core.rng import split_permutation
 from mfcd_tpu.sampling import STRATEGIES, sample_triplets, select_unique, split_triplets
 from mfcd_tpu.sampling.dedup import TripletSet
 from mfcd_tpu.sampling.strategies import top_k_value
@@ -52,6 +53,55 @@ def test_select_unique_shortfall():
     cands = jnp.array([[0, 1, 2]] * 50, dtype=jnp.int32)
     out = select_unique(cands, jnp.ones(50, bool), 10)
     assert int(out.count) == 1
+
+
+def test_hashed_dedup_properties():
+    """Hash-table selection: exact uniqueness, exclusion, first-occurrence."""
+    rng = np.random.default_rng(1)
+    cands = rng.integers(0, 6, size=(400, 3)).astype(np.int32)
+    valid = cands[:, 1] != cands[:, 2]
+    exclude = np.array([[0, 1, 2], [5, 4, 3]], dtype=np.int32)
+    out = select_unique(
+        jnp.asarray(cands), jnp.asarray(valid), 100,
+        exclude=jnp.asarray(exclude), nm_shape=(6, 6), method="hash",
+    )
+    cnt = int(out.count)
+    rows = np.asarray(out.triplets[:cnt])
+    as_set = {tuple(r) for r in rows.tolist()}
+    assert len(as_set) == cnt                      # unique
+    assert (0, 1, 2) not in as_set and (5, 4, 3) not in as_set
+    assert all(r[1] != r[2] for r in rows)         # validity respected
+    # First-occurrence: kept rows appear in draw order.
+    draw_pos = []
+    seen = set()
+    for pos, (c, v) in enumerate(zip(cands.tolist(), valid.tolist())):
+        t = tuple(c)
+        if v and t in as_set and t not in seen:
+            seen.add(t)
+            draw_pos.append((t, pos))
+    order_map = {t: k for k, t in enumerate(map(tuple, rows.tolist()))}
+    ordered = sorted(draw_pos, key=lambda tp: tp[1])
+    assert [t for t, _ in ordered] == [
+        t for t, _ in sorted(draw_pos, key=lambda tp: order_map[tp[0]])
+    ]
+
+
+def test_hashed_vs_sort_dedup_yield():
+    """At reference scale the hash path loses only a tiny slice of yield."""
+    rng = np.random.default_rng(2)
+    m_draw = 20_000
+    cands = np.stack([
+        rng.integers(0, 100, m_draw),
+        rng.integers(0, 100, m_draw),
+        rng.integers(0, 100, m_draw),
+    ], axis=1).astype(np.int32)
+    valid = cands[:, 1] != cands[:, 2]
+    t = 15_000
+    out_sort = select_unique(jnp.asarray(cands), jnp.asarray(valid), t,
+                             nm_shape=(100, 100), method="sort")
+    out_hash = select_unique(jnp.asarray(cands), jnp.asarray(valid), t,
+                             nm_shape=(100, 100), method="hash")
+    assert int(out_hash.count) >= int(out_sort.count) * 0.97
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
@@ -131,7 +181,8 @@ def test_split_partition():
     sample = sample_triplets(KEY, X, t, strategy="random")
     sh_train, sh_val = int(0.8 * t), int(0.1 * t)
     sh_test = t - sh_train - sh_val
-    splits = split_triplets(sample, jax.random.key(42), sh_train, sh_val, sh_test)
+    perm = jnp.asarray(split_permutation(t))
+    splits = split_triplets(sample, perm, sh_train, sh_val, sh_test)
     tr = np.asarray(splits.train[: int(splits.train_count)])
     va = np.asarray(splits.val[: int(splits.val_count)])
     te = np.asarray(splits.test[: int(splits.test_count)])
@@ -141,7 +192,7 @@ def test_split_partition():
     assert all_rows == orig  # disjoint cover of the sample
 
     # Deterministic: same split twice.
-    splits2 = split_triplets(sample, jax.random.key(42), sh_train, sh_val, sh_test)
+    splits2 = split_triplets(sample, perm, sh_train, sh_val, sh_test)
     assert np.array_equal(np.asarray(splits.train), np.asarray(splits2.train))
 
 
@@ -149,7 +200,7 @@ def test_split_with_shortfall():
     t = 100
     sample = sample_triplets(KEY, X, t, strategy="random")
     short = TripletSet(sample.triplets, jnp.int32(57))  # pretend shortfall
-    splits = split_triplets(short, jax.random.key(42), 80, 10, 10)
+    splits = split_triplets(short, jnp.asarray(split_permutation(t)), 80, 10, 10)
     assert int(splits.train_count) == int(0.8 * 57)
     assert int(splits.val_count) == int(0.1 * 57)
     assert (
