@@ -115,3 +115,37 @@ def test_smart_formatter():
     assert viz.smart_formatter(0) == "0"
     assert viz.smart_formatter(0.5) == "0.5"
     assert "10^" in viz.smart_formatter(1e-5)
+
+
+def test_report_helpers(tmp_path):
+    from mfcd_tpu.viz import report
+
+    idx = report.find_closest_index_by_s(RESULTS, 4.9)
+    assert RESULTS[idx]["params"]["s"] == 5.0
+
+    rng = np.random.default_rng(0)
+    report.plot_sampled_comparison_aligned(
+        rng.normal(size=50), rng.normal(size=50),
+        save_path=str(tmp_path / "cmp.png"), show_plot=False,
+    )
+    assert (tmp_path / "cmp.png").exists()
+
+    out = report.plot_outlier_impact(
+        save_path=str(tmp_path / "outl"), show_plot=False)
+    assert out["spearman_outliers"] > out["pearson_outliers"]
+
+    vals, means, errs = report.aggregate_by_param(RESULTS, "p")
+    assert vals == [0.1, 0.2] and len(means) == 2
+
+    # alpha-vs-s overlay needs 'alpha' + K in the schema
+    enriched = []
+    for r in RESULTS:
+        rr = {"params": dict(r["params"]), "results": dict(r["results"])}
+        rr["results"]["alpha"] = [1.0 / rr["params"]["s"]] * 3
+        enriched.append(rr)
+    report.plot_alpha_vs_s(
+        enriched, s_min=0.01, s_max=100,
+        weight_decays=(1e-5, 1e-3),
+        save_path=str(tmp_path / "avs"), show_plot=False,
+    )
+    assert (tmp_path / "avs.png").exists()
