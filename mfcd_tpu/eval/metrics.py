@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams, forward_logits
+from mfcd_tpu.ops.linalg import top_singular_values
 from mfcd_tpu.ops.losses import bce_with_logits
 from mfcd_tpu.train.trainer import _pad_to_batches
 
@@ -113,26 +114,6 @@ def _ranks(a: jax.Array) -> jax.Array:
     return ranks.at[row_idx, order].set(col_rank)
 
 
-def _top_singular_values(
-    x: jax.Array, q: int, key: jax.Array, iters: int = 4
-) -> jax.Array:
-    """Top-q singular values via randomized subspace iteration.
-
-    MXU-friendly (a handful of n x m x q matmuls + QR) replacement for a
-    full iterative SVD; with oversampling and power iterations the leading
-    values are accurate to ~1e-4 relative for the spectra seen here.
-    """
-    n, m = x.shape
-    g = jax.random.normal(key, (m, q), x.dtype)
-    y = x @ g
-    for _ in range(iters):
-        y, _ = jnp.linalg.qr(y)
-        y = x @ (x.T @ y)
-    qmat, _ = jnp.linalg.qr(y)
-    b = qmat.T @ x  # [q, m]
-    return jnp.linalg.svd(b, compute_uv=False)
-
-
 def _masked_mean_std(vals: jax.Array, mask: jax.Array):
     cnt = jnp.sum(mask)
     mean = jnp.where(
@@ -201,7 +182,7 @@ def compute_alignment_metrics(
     s2_d = jnp.linalg.svd(r_u @ r_v.T, compute_uv=False)
     d_rank = s2_d.shape[0]
     q = min(d_rank + 10, min(x.shape))
-    s1_top = _top_singular_values(x, q, spectrum_key)[:d_rank]
+    s1_top = top_singular_values(x, q, spectrum_key)[:d_rank]
     fro2 = jnp.sum(x * x)
     head = jnp.sum((alpha * s2_d - s1_top) ** 2)
     tail = jnp.maximum(fro2 - jnp.sum(s1_top**2), 0.0)

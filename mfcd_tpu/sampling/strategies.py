@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from mfcd_tpu.genx.clusters import kmeans
+from mfcd_tpu.ops.linalg import randomized_svd
 
 
 def _categorical_pair_from_cdf(
@@ -192,8 +193,13 @@ def svd_rank(num_triplets: int, n: int, m: int) -> int:
 
 def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3):
     n, m = x.shape
+    kp, key = jax.random.split(key)
     rank = min(svd_rank(num_triplets, n, m), min(n, m))
-    u_full, s, vt = jnp.linalg.svd(x, full_matrices=False)
+    # Truncated SVD via randomized subspace iteration (the reference uses
+    # scipy's Lanczos svds, ``generation_data.py:149``); only the leading
+    # ``rank`` projection norms matter for the top-fraction selection.
+    q = min(rank + 8, min(n, m))
+    u_full, s, vt = randomized_svd(x, q, kp)
     u_proj = u_full[:, :rank] * s[:rank][None, :]
     v_proj = vt[:rank, :].T * s[:rank][None, :]
     user_norms = jnp.linalg.norm(u_proj, axis=1)

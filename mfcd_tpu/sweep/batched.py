@@ -82,8 +82,31 @@ def run_bucket(
         s = jax.device_put(s, sharding)
         lr = jax.device_put(lr, sharding)
         wd = jax.device_put(wd, sharding)
-    out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
-                             use_pallas=use_pallas)
+
+    # Transient-failure recovery (SURVEY §5.3): remote compilation and the
+    # device transport can hiccup; retry with backoff before giving up so
+    # long sweeps survive infrastructure blips.
+    last_err = None
+    for attempt in range(3):
+        try:
+            out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
+                                     use_pallas=use_pallas)
+            break
+        except jax.errors.JaxRuntimeError as e:
+            last_err = e
+            msg = str(e)
+            transient = any(tok in msg for tok in
+                            ("remote_compile", "INTERNAL", "UNAVAILABLE",
+                             "DEADLINE_EXCEEDED"))
+            if not transient or attempt == 2:
+                raise
+            import time as _time
+
+            print(f"⚠️ transient device error (attempt {attempt + 1}/3), "
+                  f"retrying: {msg[:120]}")
+            _time.sleep(15 * (attempt + 1))
+    else:  # pragma: no cover
+        raise last_err
 
     host = {k: np.asarray(v) for k, v in out.items()}
     results = []
