@@ -98,6 +98,55 @@ def create_pairwise_dataset(
     )
 
 
+class RatingsDataset(NamedTuple):
+    """Sparse ratings container (Draft/Data_managing.ipynb cell 6)."""
+
+    movies: np.ndarray
+    users: np.ndarray
+    ratings: np.ndarray
+
+    def __len__(self):
+        return len(self.ratings)
+
+
+def split_dataset(dataset: RatingsDataset, p_test: float = 0.1, seed: int = 1):
+    """Bernoulli train/test split of a ratings dataset.
+
+    Course-scaffold utility from the Draft layer, doctested like the
+    original:
+
+    >>> import numpy as np
+    >>> ds = RatingsDataset(np.array([0, 0]), np.array([1, 0]),
+    ...                     np.array([2.0, 1.0]))
+    >>> train, test = split_dataset(ds, p_test=0)
+    >>> len(train), len(test)
+    (2, 0)
+    >>> train, test = split_dataset(ds, p_test=1)
+    >>> len(train), len(test)
+    (0, 2)
+    """
+    rng = np.random.default_rng(seed)
+    test_mask = rng.uniform(size=len(dataset)) < p_test
+    pick = lambda mask: RatingsDataset(
+        dataset.movies[mask], dataset.users[mask], dataset.ratings[mask])
+    return pick(~test_mask), pick(test_mask)
+
+
+def to_matrix(dataset: RatingsDataset, num_movies: int, num_users: int):
+    """Dense (num_movies, num_users) ratings matrix; missing entries 0.
+
+    >>> import numpy as np
+    >>> ds = RatingsDataset(np.array([0, 1]), np.array([1, 0]),
+    ...                     np.array([2.0, 3.0]))
+    >>> to_matrix(ds, 2, 2)
+    array([[0., 2.],
+           [3., 0.]])
+    """
+    mat = np.zeros((num_movies, num_users))
+    mat[dataset.movies, dataset.users] = dataset.ratings
+    return mat
+
+
 def split_pairwise_dataset(
     dataset: PairwiseDataset, p_test: float = 0.1, seed: int = 1
 ) -> Tuple[PairwiseDataset, PairwiseDataset]:

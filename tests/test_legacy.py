@@ -90,3 +90,20 @@ def test_preference_functions():
     sm = softmax_preference(u_mat, v_mat, u, i, j)
     # softmax is monotone in scores: agrees with max rule too.
     np.testing.assert_array_equal(np.asarray(sm), np.asarray(mx))
+
+
+def test_ratings_split_and_matrix():
+    from mfcd_tpu.data.movielens import RatingsDataset, split_dataset, to_matrix
+
+    ds = RatingsDataset(
+        movies=np.arange(100) % 7,
+        users=np.arange(100) % 11,
+        ratings=np.linspace(1, 5, 100),
+    )
+    train, test = split_dataset(ds, p_test=0.25, seed=3)
+    assert len(train) + len(test) == 100
+    assert 10 < len(test) < 45
+    mat = to_matrix(ds, 7, 11)
+    assert mat.shape == (7, 11)
+    assert mat[0, 0] == ds.ratings[np.flatnonzero(
+        (ds.movies == 0) & (ds.users == 0))[-1]]
