@@ -79,15 +79,22 @@ def _epoch_kernel(
     del u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in  # aliased to outputs
     d, n = u_out.shape[1], u_out.shape[2]
     m = v_out.shape[2]
+    chunk = pu_ref.shape[1]
     bs = pu_ref.shape[2]
     run = pl.program_id(0)
+    ci = pl.program_id(1)
     lr = lr_ref[run, 0]
     wd = wd_ref[run, 0]
     step0 = step0_ref[run, 0]
     count = count_ref[run, 0]
     # Dynamic trip count: only batches containing valid rows execute
-    # (matches the reference loader's len = ceil(count / batch)).
+    # (matches the reference loader's len = ceil(count / batch)).  The
+    # batch axis is split into VMEM-sized chunks along grid dim 1; the
+    # state blocks are indexed by the run only, so they stay resident in
+    # VMEM across a run's whole chunk sweep.
     num_exec = (count + bs - 1) // bs
+    base = ci * chunk
+    local_exec = jnp.clip(num_exec - base, 0, chunk)
     log_b1 = jnp.log(jnp.float32(b1))
     log_b2 = jnp.log(jnp.float32(b2))
 
@@ -105,11 +112,12 @@ def _epoch_kernel(
             preferred_element_type=_F32,
         )
 
-    def body(t, loss_sum):
-        idx_u = pu_ref[0, t, :]
-        idx_i = pi_ref[0, t, :]
-        idx_j = pj_ref[0, t, :]
-        z = z_ref[0, t, :].reshape(1, bs)
+    def body(tl, loss_sum):
+        t = base + tl
+        idx_u = pu_ref[0, tl, :]
+        idx_i = pi_ref[0, tl, :]
+        idx_j = pj_ref[0, tl, :]
+        z = z_ref[0, tl, :].reshape(1, bs)
         slots = t * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         mask = (slots < count).astype(_F32)
 
@@ -158,9 +166,13 @@ def _epoch_kernel(
         update(v_out, mu_v_out, nu_v_out, grad_v)
         return loss_sum + loss
 
-    loss_sum = jax.lax.fori_loop(0, num_exec, body, jnp.float32(0.0))
-    loss_out[pl.program_id(0), 0] = loss_sum / jnp.maximum(
-        num_exec.astype(_F32), 1.0)
+    loss_sum = jax.lax.fori_loop(0, local_exec, body, jnp.float32(0.0))
+
+    @pl.when(ci == 0)
+    def _():
+        loss_out[run, 0] = 0.0
+
+    loss_out[run, 0] += loss_sum / jnp.maximum(num_exec.astype(_F32), 1.0)
 
 
 @functools.partial(
@@ -186,24 +198,33 @@ def pallas_train_epoch(
     m = state.v_t.shape[2]
     num_batches = pu.shape[1]
     bs = pu.shape[2]
+    # Chunk the batch axis so the streamed (pu, pi, pj, z) blocks fit VMEM
+    # alongside the resident state: ~512KB per array per chunk (x4 arrays,
+    # x2 for pipelining = ~4MB of streaming buffers).
+    chunk = max(1, min(num_batches, (512 * 1024) // (bs * 4)))
+    n_chunks = -(-num_batches // chunk)
+    pad_b = n_chunks * chunk - num_batches
+    if pad_b:
+        grow = lambda a: jnp.pad(a, ((0, 0), (0, pad_b), (0, 0)))
+        pu, pi, pj, z = grow(pu), grow(pi), grow(pj), grow(z)
 
-    state_spec_n = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0),
+    state_spec_n = pl.BlockSpec((1, d, n), lambda i, c: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-    state_spec_m = pl.BlockSpec((1, d, m), lambda i: (i, 0, 0),
+    state_spec_m = pl.BlockSpec((1, d, m), lambda i, c: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-    batch_spec = pl.BlockSpec((1, num_batches, bs), lambda i: (i, 0, 0),
+    batch_spec = pl.BlockSpec((1, chunk, bs), lambda i, c: (i, c, 0),
                               memory_space=pltpu.VMEM)
     # Scalars live as full [R, 1] SMEM blocks shared by every grid step
     # (per-program (1, 1) blocks don't satisfy Mosaic's tiling rules);
     # the kernel indexes them with program_id.
-    scalar_spec = pl.BlockSpec((r, 1), lambda i: (0, 0),
+    scalar_spec = pl.BlockSpec((r, 1), lambda i, c: (0, 0),
                                memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_epoch_kernel, b1=b1, b2=b2, eps=eps)
 
     out = pl.pallas_call(
         kernel,
-        grid=(r,),
+        grid=(r, n_chunks),
         in_specs=[
             scalar_spec, scalar_spec, scalar_spec, scalar_spec,
             batch_spec, batch_spec, batch_spec, batch_spec,
@@ -239,12 +260,19 @@ def pallas_train_epoch(
 
 def pallas_epoch_supported(n: int, m: int, d: int, num_batches: int,
                            batch_size: int) -> bool:
-    """Conservative VMEM-fit check for the fused epoch kernel."""
+    """Conservative VMEM-fit check for the fused epoch kernel.
+
+    The batch tensors stream through VMEM in fixed-size chunks (second grid
+    dimension), so only the resident state + one chunk + the one-hot
+    working set must fit.
+    """
+    del num_batches
+
     def padded(rows, cols):
         return ((rows + 7) // 8 * 8) * ((cols + 127) // 128 * 128) * 4
 
     state_bytes = 3 * (padded(d, n) + padded(d, m))
-    batch_bytes = 5 * padded(num_batches, batch_size)  # actually [B, bs]
+    stream_bytes = 2 * 4 * 512 * 1024  # 4 arrays x 512KB chunks, x2 buffers
     onehot_bytes = 3 * padded(batch_size, max(n, m))
-    total = state_bytes + batch_bytes + onehot_bytes
+    total = state_bytes + stream_bytes + onehot_bytes
     return total < 12 * 1024 * 1024  # leave headroom in ~16MB VMEM
