@@ -91,6 +91,9 @@ def run_bucket(
         try:
             out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
                                      use_pallas=use_pallas)
+            # Materialize inside the retry scope: dispatch is async, so
+            # device failures surface at the host transfer.
+            host = {k: np.asarray(v) for k, v in out.items()}
             break
         except jax.errors.JaxRuntimeError as e:
             last_err = e
@@ -108,7 +111,6 @@ def run_bucket(
     else:  # pragma: no cover
         raise last_err
 
-    host = {k: np.asarray(v) for k, v in out.items()}
     results = []
     for bi in range(b):
         per_cfg = {k: v[bi] for k, v in host.items()}
@@ -130,7 +132,7 @@ def parameter_scan_fast(
     linear: bool = False,
     seed: int = DEFAULT_SEED,
     batch_size: int = 64,
-    max_bucket: int = 64,
+    max_bucket: int = 16,
     **params,
 ) -> List[Dict[str, Any]]:
     """Mesh-parallel ``parameter_scan`` with identical semantics and schema.
@@ -164,16 +166,19 @@ def parameter_scan_fast(
             outs = run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh)
             for i, res in zip(chunk, outs):
                 slot_results[i] = res
+            if save_path:
+                # Crash-safe incremental persistence: each completed chunk
+                # lands on disk immediately (bucket-traversal order — the
+                # plotting layer keys off params, not file order).
+                append_results(
+                    save_path,
+                    [{"params": param_sets[i], "results": res}
+                     for i, res in zip(chunk, outs)],
+                )
 
-    all_results = [
+    if save_path:
+        return []
+    return [
         {"params": ps, "results": res}
         for ps, res in zip(param_sets, slot_results)
     ]
-    if save_path:
-        if save_every:
-            for lo in range(0, len(all_results), save_every):
-                append_results(save_path, all_results[lo:lo + save_every])
-        else:
-            append_results(save_path, all_results)
-        return []
-    return all_results
