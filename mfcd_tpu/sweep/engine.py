@@ -179,9 +179,7 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     propagate between stages).
     """
     r = cfg.reps
-    rep_keys2d = jax.jit(
-        jax.vmap(lambda ck: rng.rep_keys(ck, r)), static_argnums=()
-    )(cfg_keys)
+    rep_keys2d = jax.vmap(lambda ck: rng.rep_keys(ck, r))(cfg_keys)
 
     x, ds, params, streams = _build_bucket(_shape_only(cfg), rep_keys2d, s)
 

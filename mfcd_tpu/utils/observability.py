@@ -73,7 +73,6 @@ class JsonlLogger:
     def log(self, params: Dict[str, Any], results: Dict[str, Any]):
         record = {"params": params, "metrics": {}}
         for k, v in results.items():
-            arr = np.asarray(v, dtype=object)
             try:
                 flat = np.asarray(v, dtype=np.float64).ravel()
             except (ValueError, TypeError):
@@ -83,7 +82,6 @@ class JsonlLogger:
                     "mean": float(np.mean(flat)),
                     "std": float(np.std(flat)),
                 }
-            del arr
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

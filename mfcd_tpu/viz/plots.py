@@ -20,9 +20,12 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
+import os
+
 import matplotlib
 
-matplotlib.use("Agg") if not matplotlib.get_backend() else None
+if not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import matplotlib.ticker as mticker
 from matplotlib.colors import LogNorm
