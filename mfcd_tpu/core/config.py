@@ -5,8 +5,10 @@ The reference drives everything through 16 keyword arguments threaded from
 Here those become a frozen dataclass, ``RunConfig``, whose *static* fields
 (sizes, epochs, strategy names) determine all array shapes up front — the
 precondition for compiling a whole run as one XLA program — while the
-*numeric* fields (``s``, ``lr``, ``weight_decay``, ``alpha``) may be traced
-and therefore vmapped across a batch of configurations sharing shapes.
+*numeric* fields (``s``, ``lr``, ``weight_decay``) may be traced and
+therefore vmapped across a batch of configurations sharing shapes
+(``alpha`` stays static: it parameterizes the samplers and their overdraw
+plans).
 
 ``SweepSpec`` reproduces the scalar-or-list convention with numpy-to-native
 normalization and grid/linear expansion of the reference
@@ -85,14 +87,15 @@ class RunConfig:
 
         Configs with equal signatures share all array shapes and static
         branches, so their runs can be vmapped together / share one cache
-        entry.  Numeric fields s/lr/weight_decay/alpha are excluded — they
-        are traced.
+        entry.  s/lr/weight_decay are excluded — they are traced.  alpha is
+        INCLUDED: it is baked statically into the samplers (it shapes the
+        popularity law and the overdraw plan).
         """
         return (
             self.n, self.m, self.d, self.num_triplets, self.K,
             self.num_epochs, self.reps, self.strategy,
-            self.popularity_method, self.soft_label, self.generation,
-            self.batch_size,
+            self.popularity_method, self.alpha, self.soft_label,
+            self.generation, self.batch_size,
         )
 
 

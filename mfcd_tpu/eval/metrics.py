@@ -34,7 +34,7 @@ from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams, forward_logits
 from mfcd_tpu.ops.linalg import top_singular_values
 from mfcd_tpu.ops.losses import bce_with_logits
-from mfcd_tpu.train.trainer import _pad_to_batches
+from mfcd_tpu.train.trainer import _pad_to_batches, batch_losses
 
 _EPS = 1e-8
 
@@ -42,17 +42,13 @@ _EPS = 1e-8
 def evaluate_split(
     params: MFParams, split: LabeledSplit, batch_size: int = 64
 ) -> Tuple[jax.Array, jax.Array]:
-    """Test BCE (mean of per-batch means) + accuracy at threshold 0.5
+    """Test BCE (mean of per-batch means, via the trainer's batch_losses so
+    the convention lives in one place) + accuracy at threshold 0.5
     (reference ``structure.py:881-921``)."""
+    _, loss = batch_losses(params, split, batch_size)
+
     u, i, j, z, valid = _pad_to_batches(split, batch_size)
     logits = forward_logits(params, u, i, j)
-    losses = bce_with_logits(logits, z)
-    per_sum = jnp.sum(jnp.where(valid, losses, 0.0), axis=1)
-    per_cnt = jnp.sum(valid, axis=1)
-    nonempty = per_cnt > 0
-    per_mean = jnp.where(nonempty, per_sum / jnp.maximum(per_cnt, 1), 0.0)
-    loss = jnp.sum(per_mean) / jnp.maximum(jnp.sum(nonempty), 1)
-
     pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
     correct = jnp.sum(jnp.where(valid, (pred == z).astype(jnp.float32), 0.0))
     total = jnp.sum(valid)

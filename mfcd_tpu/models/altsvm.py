@@ -19,9 +19,11 @@ phase (U fixed), with
     u_i = (1/lambda) sum_{t: user=i} alpha_t p_t (v_{j_t} - v_{k_t}),
     alpha_t in [0, C].
 
-Per-row python loops of the draft become segment-sums for the phase-start
-rebuilds; the inherently sequential coordinate updates are a ``lax.scan``
-over a random visiting order.
+Each phase restarts from the zero primal-dual origin (u_i = 0 <=> alpha = 0
+is the consistent starting point of a fresh SVM solve) and runs DCD sweeps;
+the inherently sequential coordinate updates are a ``lax.scan`` over a
+random visiting order.  ``rebuild_users`` / ``rebuild_items`` expose the
+segment-sum primal-from-dual reconstruction for warm-start variants.
 
 Prediction: score(u, j, k) = U[u] . (V[j] - V[k]); the label is the sign.
 """
@@ -66,7 +68,7 @@ def _picks(key, t, sweeps):
     return perms.reshape(-1)
 
 
-def _rebuild_users(state, users, movie_j, movie_k, prefs, lam):
+def rebuild_users(state, users, movie_j, movie_k, prefs, lam):
     """u_i = (1/lambda) sum alpha_t p_t (v_j - v_k)  (primal from duals)."""
     dv = state.movie_features[movie_j] - state.movie_features[movie_k]
     w = (state.alpha * prefs)[:, None] * dv / lam
@@ -76,7 +78,7 @@ def _rebuild_users(state, users, movie_j, movie_k, prefs, lam):
     )
 
 
-def _rebuild_items(state, users, movie_j, movie_k, prefs, lam):
+def rebuild_items(state, users, movie_j, movie_k, prefs, lam):
     """v_j (+) / v_k (-) rebuilt from the item-phase duals."""
     w = (state.beta * prefs)[:, None] * state.user_features[users] / lam
     n_movies = state.movie_features.shape[0]

@@ -98,9 +98,12 @@ def run_bucket(
         except jax.errors.JaxRuntimeError as e:
             last_err = e
             msg = str(e)
+            # NB: XLA wraps deterministic failures in INTERNAL too — only
+            # retry statuses that are reliably infrastructure-side.
             transient = any(tok in msg for tok in
-                            ("remote_compile", "INTERNAL", "UNAVAILABLE",
-                             "DEADLINE_EXCEEDED"))
+                            ("remote_compile", "UNAVAILABLE",
+                             "DEADLINE_EXCEEDED",
+                             "worker process crashed"))
             if not transient or attempt == 2:
                 raise
             import time as _time

@@ -62,17 +62,6 @@ def _metrics_rep(params, x, s, ds, streams, cfg, train_losses, val_losses):
     return metrics
 
 
-def _single_rep(rep_key, s, lr, weight_decay, cfg: RunConfig) -> Dict:
-    """One repetition, fully on device (reference ``structure.py:348-417``)."""
-    x, ds, params, streams = _build_rep(rep_key, s, cfg)
-    params, train_losses, val_losses = train_model(
-        params, ds.train, ds.val, streams["epochs"], lr, weight_decay,
-        batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-    )
-    return _metrics_rep(params, x, s, ds, streams, cfg,
-                        train_losses, val_losses)
-
-
 @partial(jax.jit, static_argnames=("cfg",))
 def _build_bucket(cfg: RunConfig, rep_keys2d, s):
     """Stage 1: data + init for [B, R] runs.

@@ -18,16 +18,10 @@ import jax
 import numpy as np
 
 from mfcd_tpu.core import rng
-from mfcd_tpu.core.config import RunConfig, SweepSpec, normalize_param
+from mfcd_tpu.core.config import RunConfig, normalize_param
 from mfcd_tpu.data.btl import build_dataset
 from mfcd_tpu.eval.metrics import ground_truth_metrics
 from mfcd_tpu.genx import generate_x
-
-_GT_PARAM_KEYS = (
-    "n", "m", "p", "d", "s", "K", "strategy", "popularity_method",
-    "alpha", "soft_label", "generation",
-)
-
 
 def _gt_single_rep(rep_key, s, cfg: RunConfig):
     streams = rng.rep_streams(rep_key)
@@ -75,6 +69,9 @@ def parameter_scan_ground_truth(
         "popularity_method": popularity_method, "alpha": alpha,
         "soft_label": soft_label, "generation": generation,
     }
+    # NB: hand-rolled expansion (not SweepSpec) on purpose — the reference's
+    # GT scan silently falls back to a full grid when linear lists are not
+    # synchronized instead of raising (``structure.py:1254-1263``).
     param_dict = {k: normalize_param(v) for k, v in param_dict.items()}
     list_params = [v for v in param_dict.values() if isinstance(v, list)]
     synchronized = (

@@ -31,14 +31,21 @@ def load_results(save_path: str) -> List[Dict[str, Any]]:
 
 
 def append_results(save_path: str, new_results: List[Dict[str, Any]]) -> None:
-    """Load-extend-dump (reference ``structure.py:175-200``)."""
+    """Load-extend-dump (reference ``structure.py:175-200``), atomically.
+
+    The dump goes to a temp file that is ``os.replace``d over the target, so
+    a crash mid-write can never destroy previously persisted experiments
+    (the reference truncates in place, risking the whole file).
+    """
     dirname = os.path.dirname(save_path)
     if dirname:
         os.makedirs(dirname, exist_ok=True)
     previous = load_results(save_path)
     previous.extend(new_results)
-    with open(save_path, "wb") as f:
+    tmp_path = save_path + ".tmp"
+    with open(tmp_path, "wb") as f:
         pickle.dump(previous, f)
+    os.replace(tmp_path, save_path)
     print(f"✅ Saved {len(new_results)} new experiments to {save_path}")
 
 

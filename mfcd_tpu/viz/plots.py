@@ -544,7 +544,7 @@ def plot_metrics_vs_param(results, param_x, metrics, group_by=None,
                           sub_plot=True, max_overall=False, show_plot=True,
                           use_color_gradient=True, font_scale=1.0,
                           GT_plot=True, stds=None, dashed=False,
-                          fill_between=False, line=False):
+                          fill_between=False, line=False, close=True):
     """The workhorse: metric(s) vs a parameter, ``group_by`` curves,
     ``split_by`` panels, SEM errorbars, best-over-hidden-params mode, GT
     overlay (reference ``visualization.py:960-1086``)."""
@@ -597,7 +597,8 @@ def plot_metrics_vs_param(results, param_x, metrics, group_by=None,
             _maybe_save(fig, save_path)
         if show_plot:
             plt.show()
-        plt.close(fig)
+        if close:
+            plt.close(fig)
     else:
         for split_key, grp in split_groups.items():
             fig, ax = plt.subplots(figsize=(9, 6))

@@ -92,7 +92,7 @@ def plot_alpha_vs_s(
     plot_metrics_vs_param(
         filtered, "s", ["alpha"], group_by="K", split_by="weight_decay",
         log_scale_x=True, log_scale_y=True, sub_plot=True,
-        font_scale=font_scale, show_plot=False,
+        font_scale=font_scale, show_plot=False, close=False,
     )
     fig = plt.gcf()
     for ax in fig.get_axes():

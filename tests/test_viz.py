@@ -149,3 +149,10 @@ def test_report_helpers(tmp_path):
         save_path=str(tmp_path / "avs"), show_plot=False,
     )
     assert (tmp_path / "avs.png").exists()
+    # Regression guard: the overlay figure must contain actual curves,
+    # not a blank canvas (plot_metrics_vs_param must not close the figure
+    # before the 1/s overlay is drawn).
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "avs.png").convert("RGB"))
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) > 50
