@@ -498,9 +498,11 @@ def plot_all_heatmaps(results, param_x, param_y, result_metric,
                            font_scale=font_scale, show_plot=show_plot)
 
 
-def plot_3d_scatter(results, param_x, param_y, param_z, result_metric):
+def plot_3d_scatter(results, param_x, param_y, param_z, result_metric,
+                    use_plotly=True, save_path=None, show_plot=True):
     """Interactive 3D scatter via plotly when available
-    (reference ``visualization.py:777-812``); matplotlib fallback."""
+    (reference ``visualization.py:777-812``); matplotlib fallback (used
+    when plotly is absent, fails, or ``use_plotly=False``)."""
     rows = [
         {
             param_x: exp["params"][param_x],
@@ -510,32 +512,41 @@ def plot_3d_scatter(results, param_x, param_y, param_z, result_metric):
         }
         for exp in results
     ]
-    try:
-        import pandas as pd
-        import plotly.express as px
+    if use_plotly:
+        try:
+            import pandas as pd
+            import plotly.express as px
 
-        df = pd.DataFrame(rows)
-        fig = px.scatter_3d(
-            df, x=param_x, y=param_y, z=param_z, color=result_metric,
-            opacity=0.8,
-            title=f"3D Scatter of {format_display_name(result_metric)}",
-        )
-        fig.show()
-    except Exception:
-        fig = plt.figure()
-        ax = fig.add_subplot(projection="3d")
-        sc = ax.scatter(
-            [r[param_x] for r in rows],
-            [r[param_y] for r in rows],
-            [r[param_z] for r in rows],
-            c=[r[result_metric] for r in rows],
-        )
-        plt.colorbar(sc, ax=ax, label=format_display_name(result_metric))
-        ax.set_xlabel(param_x)
-        ax.set_ylabel(param_y)
-        ax.set_zlabel(param_z)
+            df = pd.DataFrame(rows)
+            fig = px.scatter_3d(
+                df, x=param_x, y=param_y, z=param_z, color=result_metric,
+                opacity=0.8,
+                title=f"3D Scatter of {format_display_name(result_metric)}",
+            )
+            if save_path:
+                fig.write_html(f"{save_path}.html")
+            if show_plot:
+                fig.show()
+            return
+        except Exception:
+            pass
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    sc = ax.scatter(
+        [r[param_x] for r in rows],
+        [r[param_y] for r in rows],
+        [r[param_z] for r in rows],
+        c=[r[result_metric] for r in rows],
+    )
+    plt.colorbar(sc, ax=ax, label=format_display_name(result_metric))
+    ax.set_xlabel(param_x)
+    ax.set_ylabel(param_y)
+    ax.set_zlabel(param_z)
+    if save_path:
+        fig.savefig(f"{save_path}.png", bbox_inches="tight", dpi=200)
+    if show_plot:
         plt.show()
-        plt.close(fig)
+    plt.close(fig)
 
 
 def plot_metrics_vs_param(results, param_x, metrics, group_by=None,

@@ -156,3 +156,10 @@ def test_report_helpers(tmp_path):
 
     img = np.asarray(Image.open(tmp_path / "avs.png").convert("RGB"))
     assert len(np.unique(img.reshape(-1, 3), axis=0)) > 50
+
+
+def test_plot_3d_scatter_fallback(tmp_path):
+    viz.plot_3d_scatter(RESULTS, "p", "s", "weight_decay", "accuracy",
+                        use_plotly=False, save_path=str(tmp_path / "sc3d"),
+                        show_plot=False)
+    assert (tmp_path / "sc3d.png").exists()
