@@ -109,8 +109,10 @@ def main():
     grads_per_sec = rows_per_run * total_runs / dt
     log(f"triplet-grads/sec: {grads_per_sec:,.0f}")
 
+    metric = ("quick_smoke_runs_per_hour_per_chip_100x100" if quick else
+              "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2")
     print(json.dumps({
-        "metric": "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2",
+        "metric": metric,
         "value": round(runs_per_hour_per_chip, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour_per_chip / 125.0, 3),

@@ -94,3 +94,12 @@ def test_sweep_bucket_sharded_matches_unsharded():
         np.testing.assert_allclose(
             a["reconstruction_errors"], b["reconstruction_errors"],
             rtol=1e-4)
+
+
+def test_shard_param_sets_strided():
+    from mfcd_tpu.parallel.multihost import shard_param_sets
+
+    grid = [{"i": i} for i in range(10)]
+    shards = [shard_param_sets(grid, pid, 3) for pid in range(3)]
+    assert sorted(x["i"] for s in shards for x in s) == list(range(10))
+    assert [x["i"] for x in shards[0]] == [0, 3, 6, 9]
