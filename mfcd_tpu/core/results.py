@@ -76,23 +76,22 @@ def export_results(device_results: Dict[str, Any]) -> Dict[str, Any]:
     reps = host["accuracy"].shape[0]
     out: Dict[str, Any] = {}
 
+    # ndarray.tolist() yields native python floats in C, orders of magnitude
+    # faster than per-element float() loops at sweep scale.
     for k in _SCALAR_KEYS:
-        out[k] = [float(x) for x in host[k]]
+        out[k] = host[k].astype(np.float64).tolist()
 
     for k in _CURVE_KEYS:
-        out[k] = [[float(x) for x in rep_curve] for rep_curve in host[k]]
+        out[k] = host[k].astype(np.float64).tolist()
 
     for k, mask_key in _MASKED_ROW_KEYS.items():
-        vals, mask = host[k], host[mask_key].astype(bool)
-        out[k] = [
-            [float(x) for x in vals[r][mask[r]]] for r in range(reps)
-        ]
+        vals = host[k].astype(np.float64)
+        mask = host[mask_key].astype(bool)
+        out[k] = [vals[r][mask[r]].tolist() for r in range(reps)]
 
     # alpha_per_row keeps every row (0.0 placeholder when degenerate),
     # matching reference ``structure.py:1054-1059``.
-    out["alpha_per_row"] = [
-        [float(x) for x in row] for row in host["alpha_per_row"]
-    ]
+    out["alpha_per_row"] = host["alpha_per_row"].astype(np.float64).tolist()
 
     out["sampled_UVT_rows"] = [
         np.asarray(host["sampled_UVT_rows"][r], dtype=np.float32)

@@ -66,6 +66,23 @@ def test_matches_reference_statistics(reference):
     assert abs(ref_final - our_final) < 0.08
 
 
+def test_matches_reference_statistics_soft_k(reference):
+    """Second protocol point: soft labels with K=5 redundancy."""
+    reps = 3
+    cfg = dict(n=50, m=50, d=2, p=0.6, s=3.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=5, soft_label=True)
+    ref_out = reference.run_experiment(device="cpu", reps=reps, **cfg)
+    import mfcd_tpu
+
+    our_out = mfcd_tpu.run_experiment(reps=reps, **cfg)
+    for key, tol in [("gt_accuracy", 0.06), ("accuracy", 0.09),
+                     ("pearson_corr", 0.2)]:
+        ref_mean = float(np.mean(ref_out[key]))
+        our_mean = float(np.mean(our_out[key]))
+        assert abs(ref_mean - our_mean) < tol, (
+            f"{key}: reference {ref_mean:.4f} vs ours {our_mean:.4f}")
+
+
 def test_triplet_budget_matches_reference_formula(reference):
     """num_triplets = int(n*m*p/2) exactly (structure.py:356)."""
     from mfcd_tpu.core.config import RunConfig
