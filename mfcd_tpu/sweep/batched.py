@@ -128,6 +128,18 @@ def run_bucket(
     return results
 
 
+def default_max_bucket(cfg: RunConfig) -> int:
+    """Configs per program, bounded by total concurrent runs.
+
+    Device memory scales with runs-per-program x n x m (the generated X
+    matrices and the metric-stage UV^T dominate); ~128 concurrent
+    1000x1000 runs is comfortably below the observed crash threshold
+    (~320), scaled inversely with matrix area for other sizes.
+    """
+    budget_runs = max(8, int(128 * 1e6 / max(cfg.n * cfg.m, 1)))
+    return max(1, budget_runs // max(cfg.reps, 1))
+
+
 def parameter_scan_fast(
     mesh: Optional[Mesh] = None,
     save_path: Optional[str] = None,
@@ -135,7 +147,7 @@ def parameter_scan_fast(
     linear: bool = False,
     seed: int = DEFAULT_SEED,
     batch_size: int = 64,
-    max_bucket: int = 16,
+    max_bucket: Optional[int] = None,
     **params,
 ) -> List[Dict[str, Any]]:
     """Mesh-parallel ``parameter_scan`` with identical semantics and schema.
@@ -143,7 +155,8 @@ def parameter_scan_fast(
     Groups the expanded grid into shape buckets, runs each bucket as one
     (sharded) XLA program, and re-assembles results in grid order so the
     output is interchangeable with the sequential scan.  ``max_bucket``
-    bounds device-memory use per program.
+    bounds device-memory use per program (default: adaptive on
+    runs-per-program, see :func:`default_max_bucket`).
     """
     spec = SweepSpec(params=params, linear=linear, batch_size=batch_size)
     param_sets = spec.expand()
@@ -156,8 +169,10 @@ def parameter_scan_fast(
     slot_results: List[Optional[Dict]] = [None] * len(configs)
     for _sig, indices in buckets.items():
         rep_cfg = configs[indices[0]]
-        for lo in range(0, len(indices), max_bucket):
-            chunk = indices[lo:lo + max_bucket]
+        bucket_cap = (max_bucket if max_bucket is not None
+                      else default_max_bucket(rep_cfg))
+        for lo in range(0, len(indices), bucket_cap):
+            chunk = indices[lo:lo + bucket_cap]
             rows = [
                 {
                     "s": configs[i].s,
