@@ -57,7 +57,11 @@ def run_bucket(
     key folding (so results are identical with or without batching).
     """
     if use_pallas is None:
-        use_pallas = default_use_pallas(cfg)
+        platform = (
+            mesh.devices.flat[0].platform if mesh is not None
+            else jax.devices()[0].platform
+        )
+        use_pallas = default_use_pallas(cfg, platform=platform)
     b = len(hyper_rows)
     pad = 0
     if mesh is not None:

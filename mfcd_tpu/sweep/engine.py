@@ -188,8 +188,13 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     )
 
 
-def default_use_pallas(cfg: RunConfig) -> bool:
-    """Pallas fused-epoch trainer on TPU-like backends when state fits VMEM."""
+def default_use_pallas(cfg: RunConfig, platform: Optional[str] = None) -> bool:
+    """Pallas fused-epoch trainer on TPU-like backends when state fits VMEM.
+
+    ``platform`` should be the platform of the devices the program will
+    actually run on (e.g. the mesh's devices) — the Pallas kernel only
+    compiles for TPU backends.
+    """
     import os
 
     from mfcd_tpu.ops.kernels import pallas_epoch_supported
@@ -203,7 +208,9 @@ def default_use_pallas(cfg: RunConfig) -> bool:
     )
     if env == "1":
         return supported
-    return supported and jax.devices()[0].platform != "cpu"
+    if platform is None:
+        platform = jax.devices()[0].platform
+    return supported and platform != "cpu"
 
 
 def run_config(cfg: RunConfig, seed: int = DEFAULT_SEED,
