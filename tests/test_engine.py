@@ -85,3 +85,19 @@ def test_gt_accuracy_increases_with_scale():
     res_high = run_experiment(**{**CFG, "s": 8.0})
     assert (np.mean(res_high["gt_accuracy"])
             > np.mean(res_low["gt_accuracy"]) + 0.1)
+
+
+def test_parameter_scan_resume(tmp_path):
+    """resume=True keeps the file and skips completed configurations."""
+    path = str(tmp_path / "res.pkl")
+    parameter_scan(save_path=path, save_every=1, **{**CFG, "s": [1.0]})
+    before = pickle.load(open(path, "rb"))
+    assert len(before) == 1
+
+    # Resuming a larger grid must keep the done config and add only new ones.
+    parameter_scan(save_path=path, save_every=1, resume=True,
+                   **{**CFG, "s": [1.0, 4.0]})
+    after = pickle.load(open(path, "rb"))
+    assert len(after) == 2
+    assert after[0]["results"]["accuracy"] == before[0]["results"]["accuracy"]
+    assert {e["params"]["s"] for e in after} == {1.0, 4.0}
