@@ -133,14 +133,20 @@ def run_bucket(
 
 
 def default_max_bucket(cfg: RunConfig) -> int:
-    """Configs per program, bounded by total concurrent runs.
+    """Configs per program, bounded by a per-run device-memory estimate.
 
-    Device memory scales with runs-per-program x n x m (the generated X
-    matrices and the metric-stage UV^T dominate); ~128 concurrent
-    1000x1000 runs is comfortably below the observed crash threshold
-    (~320), scaled inversely with matrix area for other sizes.
+    Per run the program holds the n x m matrices (X and the metric-stage
+    UV^T materializations) plus ~a dozen row-length arrays (train split,
+    per-epoch gathered batch tensors, optimizer state is negligible).
+    A ~2GB working budget stays well under the observed crash thresholds
+    (K=1: ~320 runs crashed, 120 fine; K=2: 126 crashed).
     """
-    budget_runs = max(8, int(128 * 1e6 / max(cfg.n * cfg.m, 1)))
+    from mfcd_tpu.sampling.dedup import _next_pow2
+
+    sh = cfg.shapes()
+    rows_pad = _next_pow2(max(sh.train_rows, 1))
+    per_run_bytes = cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
+    budget_runs = max(4, int(2e9 / per_run_bytes))
     return max(1, budget_runs // max(cfg.reps, 1))
 
 
@@ -152,6 +158,7 @@ def parameter_scan_fast(
     seed: int = DEFAULT_SEED,
     batch_size: int = 64,
     max_bucket: Optional[int] = None,
+    resume: bool = False,
     **params,
 ) -> List[Dict[str, Any]]:
     """Mesh-parallel ``parameter_scan`` with identical semantics and schema.
@@ -160,18 +167,31 @@ def parameter_scan_fast(
     (sharded) XLA program, and re-assembles results in grid order so the
     output is interchangeable with the sequential scan.  ``max_bucket``
     bounds device-memory use per program (default: adaptive on
-    runs-per-program, see :func:`default_max_bucket`).
+    runs-per-program, see :func:`default_max_bucket`).  ``resume=True``
+    keeps an existing results file and skips configurations already in it.
     """
     spec = SweepSpec(params=params, linear=linear, batch_size=batch_size)
     param_sets = spec.expand()
     configs = [RunConfig(batch_size=batch_size, **ps) for ps in param_sets]
     buckets = bucket_by_shape(configs)
 
+    done: List[Dict[str, Any]] = []
     if save_path:
-        reset_save_path(save_path)
+        if resume:
+            from mfcd_tpu.utils.io import completed_param_sets
+
+            done = completed_param_sets(save_path)
+            if done:
+                print(f"🔁 Resuming: {len(done)} experiments already in "
+                      f"{save_path}")
+        else:
+            reset_save_path(save_path)
 
     slot_results: List[Optional[Dict]] = [None] * len(configs)
     for _sig, indices in buckets.items():
+        indices = [i for i in indices if param_sets[i] not in done]
+        if not indices:
+            continue
         rep_cfg = configs[indices[0]]
         bucket_cap = (max_bucket if max_bucket is not None
                       else default_max_bucket(rep_cfg))
