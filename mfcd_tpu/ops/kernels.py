@@ -266,7 +266,11 @@ def pallas_epoch_supported(n: int, m: int, d: int, num_batches: int,
     dimension), so only the resident state + one chunk + the one-hot
     working set must fit.
     """
-    del num_batches
+    # Validated envelope: row counts past ~2^19 (8+ streamed chunks at the
+    # canonical batch size) have produced TPU worker crashes; fall back to
+    # the jnp trainer beyond it until the Mosaic issue is pinned down.
+    if num_batches * batch_size > 524_288:
+        return False
 
     def padded(rows, cols):
         return ((rows + 7) // 8 * 8) * ((cols + 127) // 128 * 128) * 4
