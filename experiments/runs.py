@@ -1,10 +1,12 @@
 """Scripted equivalents of every ``Runs.ipynb`` sweep cell.
 
-Each function reproduces one canonical experiment grid of the reference
-notebook (cells 3-23), parameterized by ``scale`` so CI can run miniature
-versions of the same sweeps.  ``fast=True`` routes through the bucketed,
-mesh-shardable engine (``parameter_scan_fast``); the default is the
-sequential-compatible ``parameter_scan``.
+Each function transcribes one canonical experiment grid of the reference
+notebook (cells 3-23) with the notebook's literal parameters — see
+PARITY.md for the cell-by-cell audit table.  ``scale`` shrinks the matrix
+size so CI can run miniature versions of the same sweeps; ``fast=True``
+routes through the bucketed, mesh-shardable engine
+(``parameter_scan_fast``); the default is the sequential-compatible
+``parameter_scan``.
 
 Usage:
     python -m experiments.runs s_p_sweep --out Data_final/s_p.pkl
@@ -30,150 +32,221 @@ def _scan(fast, **kw):
     return parameter_scan(**kw)
 
 
-def s_p_sweep(out=None, save_every=10, fast=False, scale=1.0):
+def s_p_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
     """Runs.ipynb cell 3: s x p (x weight_decay) at K=1, soft labels."""
     n = m = int(1000 * scale) or 10
     s_values = np.concatenate([
-        np.logspace(-1, 1, 20), [1e-4, 1e-3, 1e-2], np.logspace(1, 2, 10)
+        np.logspace(-1, 1, 20),     # from 10^-1 to 10^1
+        [1e-4, 1e-3, 1e-2],         # specific small values
+        np.logspace(1, 2, 10),      # from 10^1 to 10^2
     ])
     return _scan(
         fast, n=n, m=m, d=2,
-        p=[0.1, 0.2, 0.3, 0.4, 0.5],
+        p=[0.1, 0.15, 0.2, 0.25, 0.35, 0.5],
+        K=[1],
+        lr=[1e-3],
         s=list(s_values),
         weight_decay=[5e-6, 5e-3],
-        num_epochs=30, reps=5, K=1, soft_label=True,
+        num_epochs=30, reps=reps, linear=False, soft_label=True,
         save_path=out, save_every=save_every,
     )
 
 
-def s_k_sweep(out=None, save_every=10, fast=False, scale=1.0):
-    """Runs.ipynb cell 5: s x K (x weight_decay) at p=0.2."""
+def s_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+    """Runs.ipynb cell 5: s x K (x weight_decay) at p=0.2, soft labels."""
     n = m = int(1000 * scale) or 10
+    s_values = np.concatenate([
+        np.logspace(-1, 1, 20),
+        [1e-4, 1e-3, 1e-2],
+        np.logspace(1, 3, 10),
+    ])
     return _scan(
         fast, n=n, m=m, d=2, p=0.2,
-        s=list(np.logspace(-1, 1, 20)),
+        lr=1e-3,
+        s=list(s_values),
         K=[1, 2, 4, 10, 50],
-        weight_decay=[1e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3, 5e-3],
-        num_epochs=30, reps=5,
+        weight_decay=[1e-6, 5e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3],
+        num_epochs=30, reps=reps, linear=False, soft_label=True,
         save_path=out, save_every=save_every,
     )
 
 
-def pk_const_sweep(out=None, save_every=10, fast=False, scale=1.0):
-    """Runs.ipynb cell 7: p*K held constant (linear scan); the derived
-    ``pxK`` parameter is patched into the saved params post-hoc, exactly as
-    the notebook does."""
+def pk_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+    """Runs.ipynb cell 7: p*K held constant (linear scan), soft labels.
+
+    The derived ``pxK`` parameter is patched into the saved params post-hoc,
+    exactly as the notebook's enrichment step does.
+    """
     n = m = int(1000 * scale) or 10
-    p_list, k_list, s_list, px_list = [], [], [], []
-    for const in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.8, 1.0]:
-        for k in [1, 2, 4, 5, 10]:
-            p = const / k
-            if p <= 1.0:
-                for s in [1, 3, 5, 8]:
-                    p_list.append(round(p, 6))
-                    k_list.append(k)
-                    s_list.append(float(s))
-                    px_list.append(const)
+    s = [1.0, 3, 5, 8]
+    target_constants = [0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.5, 1]
+    possible_K = [1, 2, 3, 4, 5, 7, 10]
+    p_values, K_values = [], []
+    for c in target_constants:
+        for K in possible_K:
+            p = round(c / K, 5)
+            if p <= 1:
+                p_values.append(p)
+                K_values.append(K)
+    s_values = []
+    for i in range(len(s)):
+        s_values.extend([s[i]] * len(p_values))
+    p_values = p_values * len(s)
+    K_values = K_values * len(s)
     results = _scan(
-        fast, n=n, m=m, d=2, p=p_list, K=k_list, s=s_list, linear=True,
-        num_epochs=30, reps=3,
+        fast, n=n, m=m, d=2, p=p_values, K=K_values, s=s_values,
+        lr=0.001, weight_decay=1e-5, linear=True,
+        num_epochs=30, reps=reps, soft_label=True,
         save_path=out, save_every=save_every,
     )
-    for exp, px in zip(results, px_list):
-        exp["params"]["pxK"] = px
-    return results
+    if out:
+        # The engine returns [] once everything is flushed to disk
+        # (reference quirk); enrich the pickle in place like the notebook.
+        import pickle
 
-
-def p_k_sweep(out=None, save_every=10, fast=False, scale=1.0):
-    """Runs.ipynb cell 9: p x K at s=5."""
-    n = m = int(1000 * scale) or 10
-    p_values = list(np.logspace(-2, np.log10(0.2), 20)) + [0.3, 0.4, 0.5]
-    return _scan(
-        fast, n=n, m=m, d=2, p=p_values, K=[1, 2, 3, 5, 10], s=5.0,
-        num_epochs=30, reps=3,
-        save_path=out, save_every=save_every,
-    )
-
-
-def ps_const_sweep(out=None, save_every=10, fast=False, scale=1.0):
-    """Runs.ipynb cell 11: p*s held constant (linear scan)."""
-    n = m = int(1000 * scale) or 10
-    p_list, s_list = [], []
-    for target in [0.12, 0.2, 0.3, 0.4, 0.5]:
-        for p in np.round(np.linspace(0.05, 0.5, 10), 3):
-            s = round(target / p, 3)
-            if 0.1 <= s <= 100:
-                p_list.append(float(p))
-                s_list.append(s)
-    results = _scan(
-        fast, n=n, m=m, d=2, p=p_list, s=s_list, linear=True,
-        num_epochs=30, reps=3,
-        save_path=out, save_every=save_every,
-    )
+        with open(out, "rb") as f:
+            results = pickle.load(f)
     for exp in results:
-        exp["params"]["p*s"] = round(
-            exp["params"]["p"] * exp["params"]["s"], 4)
+        exp["params"]["pxK"] = round(exp["params"]["p"] * exp["params"]["K"], 4)
+    if out:
+        import pickle
+
+        with open(out, "wb") as f:
+            pickle.dump(results, f)
     return results
 
 
-def p_d_sweep(out=None, save_every=10, fast=False, scale=1.0):
+def p_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+    """Runs.ipynb cell 9: p x K at s=5, soft labels."""
+    n = m = int(1000 * scale) or 10
+    p_values = np.concatenate([
+        np.logspace(-2, np.log10(0.2), 20),  # from 10^-2 to 0.2
+        [1e-4, 5e-3, 1e-3, 0.5, 0.8],        # additional specific values
+    ])
+    return _scan(
+        fast, n=n, m=m, d=2, p=list(p_values), K=[1, 2, 3, 5, 10], s=5.0,
+        lr=0.001, weight_decay=1e-5,
+        num_epochs=30, reps=reps, linear=False, soft_label=True,
+        save_path=out, save_every=save_every,
+    )
+
+
+def ps_const_pairs():
+    """Cell 11's arange-based (p, s) pair enumeration, verbatim.
+
+    The reference builds candidate grids with ``torch.arange`` (float32
+    accumulation) and keeps pairs whose rounded p lands exactly in the
+    rounded p-grid; reproducing the float32 semantics keeps the pair set
+    identical.
+    """
+    import torch
+
+    possible_s = [round(s, 3) for s in torch.arange(0.02, 10.1, 0.01).tolist()]
+    possible_p = [round(p, 5) for p in torch.arange(0.001, 0.301, 0.001).tolist()]
+    target_constants = [0.5, 0.35, 0.25, 0.20, 0.12, 0.15]
+    p_values, s_values = [], []
+    for c in target_constants:
+        for s in possible_s:
+            p = round(c / s, 5)
+            if p in possible_p:
+                p_values.append(p)
+                s_values.append(s)
+    return p_values, s_values
+
+
+def ps_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+    """Runs.ipynb cell 11: p*s held constant (linear scan), soft labels."""
+    n = m = int(1000 * scale) or 10
+    lr = [1e-3]
+    p_values, s_values = ps_const_pairs()
+    lr_values = []
+    for i in range(len(lr)):
+        lr_values.extend([lr[i]] * len(p_values))
+    p_values = p_values * len(lr)
+    s_values = s_values * len(lr)
+    return _scan(
+        fast, n=n, m=m, d=2, p=p_values, s=s_values, lr=lr_values,
+        K=1, weight_decay=1e-5, linear=True,
+        num_epochs=30, reps=reps, soft_label=True,
+        save_path=out, save_every=save_every,
+    )
+
+
+def p_d_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
     """Runs.ipynb cell 13: p x d at s=5."""
     n = m = int(1000 * scale) or 10
     return _scan(
-        fast, n=n, m=m, s=5.0,
+        fast, n=n, m=m, s=5, K=1,
         p=[0.1, 0.2, 0.5, 0.8, 1.0],
-        d=[2, 4, 6, 8, 10],
-        num_epochs=30, reps=3,
+        d=list(range(2, 11, 2)),
+        lr=1e-3, weight_decay=1e-5,
+        num_epochs=30, reps=reps,
         save_path=out, save_every=save_every,
     )
 
 
-STRATEGIES_SWEPT = (
+# Cell 16 (s-sweep) deliberately omits `random` and includes `cluster`;
+# cell 18 (p-sweep) swaps `cluster` for `random`.
+STRATEGIES_S_SWEPT = (
+    "proximity", "margin", "variance", "popularity", "top_k", "cluster", "svd",
+)
+STRATEGIES_P_SWEPT = (
     "random", "proximity", "margin", "variance", "popularity", "top_k", "svd",
 )
 
 
-def strategies_s_sweep(out=None, save_every=5, fast=False, scale=1.0):
-    """Runs.ipynb cell 16: 7 strategies x s (x wd), per-strategy results.
+def strategies_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
+                       reps=3, strategies=STRATEGIES_S_SWEPT):
+    """Runs.ipynb cell 16: 7 strategies x s (x wd), hard labels.
 
-    The notebook writes one pickle per strategy; with ``out`` set, this
+    The notebook writes one pickle per strategy
+    (``run_vs_s_K1_{strategy}_wd_sweep.pkl``); with ``out`` set, this
     writes ``{out}_{strategy}.pkl`` files the same way.
     """
     n = m = int(1000 * scale) or 10
+    scan_s = np.concatenate([
+        np.logspace(-1, 1, 20),
+        [1e-4, 1e-3, 1e-2],
+        np.logspace(1, 4, 10),
+    ])
     all_results = {}
-    for strategy in STRATEGIES_SWEPT:
+    for strategy in strategies:
         path = f"{out}_{strategy}.pkl" if out else None
         all_results[strategy] = _scan(
-            fast, n=n, m=m, d=2, p=0.2,
-            s=list(np.logspace(-1, 1, 10)),
-            weight_decay=[5e-6, 5e-4],
-            strategy=strategy, num_epochs=30, reps=3,
+            fast, n=n, m=m, d=2, p=0.2, lr=1e-3, K=1,
+            s=list(scan_s),
+            weight_decay=[1e-6, 1e-5, 1e-4],
+            strategy=strategy, num_epochs=30, reps=reps,
+            linear=False, soft_label=False,
             save_path=path, save_every=save_every,
         )
     return all_results
 
 
-def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0):
-    """Runs.ipynb cell 18: 7 strategies x p at s=5."""
+def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
+                       reps=3, strategies=STRATEGIES_P_SWEPT):
+    """Runs.ipynb cell 18: 7 strategies x p at s=5, soft labels."""
     n = m = int(1000 * scale) or 10
-    p_values = list(np.logspace(-2, np.log10(0.2), 20))
+    p_list = np.round(np.logspace(-2, np.log10(0.2), 20), 4).tolist()
     all_results = {}
-    for strategy in STRATEGIES_SWEPT:
+    for strategy in strategies:
         path = f"{out}_{strategy}.pkl" if out else None
         all_results[strategy] = _scan(
-            fast, n=n, m=m, d=2, p=p_values, s=5.0,
-            strategy=strategy, num_epochs=30, reps=3,
+            fast, n=n, m=m, d=2, p=p_list, s=5, K=1,
+            lr=1e-3, weight_decay=1e-5,
+            strategy=strategy, num_epochs=30, reps=reps,
+            linear=False, soft_label=True,
             save_path=path, save_every=save_every,
         )
     return all_results
 
 
-def gt_p_k_sweep(out=None, fast=False, scale=1.0, reps=3):
+def gt_p_k_sweep(out=None, fast=False, scale=1.0, reps=5):
     """Runs.ipynb cell 21: ground-truth-only p x K scan."""
     n = m = int(1000 * scale) or 10
     results = parameter_scan_ground_truth(
-        n=n, m=m, d=2, s=5.0,
-        p=list(np.logspace(-4, 0, 30)), K=[10, 1], reps=reps,
+        n=n, m=m, d=2, s=5,
+        p=list(np.logspace(-4, 0, 30)), K=[10, 1], reps=reps, linear=False,
     )
     if out:
         import pickle
@@ -184,11 +257,11 @@ def gt_p_k_sweep(out=None, fast=False, scale=1.0, reps=3):
 
 
 def gt_d_s_sweep(out=None, fast=False, scale=1.0, reps=3):
-    """Runs.ipynb cell 23: ground-truth-only d x s scan."""
+    """Runs.ipynb cell 23: ground-truth-only d x s scan at p=0.5."""
     n = m = int(1000 * scale) or 10
     results = parameter_scan_ground_truth(
-        n=n, m=m, p=0.2, d=[1, 2, 3, 4, 5, 6, 7], s=[1.0, 3.0, 9.0],
-        K=1, reps=reps,
+        n=n, m=m, p=0.5, d=[1, 2, 3, 4, 5, 6, 7], s=[1, 3, 9],
+        K=1, linear=False, reps=reps,
     )
     if out:
         import pickle
@@ -216,13 +289,18 @@ def main(argv=None):
                     help="bucketed/mesh-shardable engine")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="matrix-size scale factor (1.0 = n=m=1000)")
+    ap.add_argument("--reps", type=int, default=None,
+                    help="override the notebook's rep count")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args(argv)
     if args.list or not args.sweep:
         for name, fn in sorted(ALL.items()):
             print(f"{name:24s} {fn.__doc__.splitlines()[0]}")
         return 0
-    ALL[args.sweep](out=args.out, fast=args.fast, scale=args.scale)
+    kw = dict(out=args.out, fast=args.fast, scale=args.scale)
+    if args.reps is not None:
+        kw["reps"] = args.reps
+    ALL[args.sweep](**kw)
     return 0
 
 

@@ -85,7 +85,6 @@ def gmm_fit_predict(
     n, d = points.shape
     labels0, means0 = kmeans(key, points, k)
     onehot = jax.nn.one_hot(labels0, k, dtype=points.dtype)
-    weights0 = jnp.mean(onehot, axis=0)
     eye = jnp.eye(d, dtype=points.dtype)
 
     def m_step(resp):
@@ -113,7 +112,6 @@ def gmm_fit_predict(
         return logp.T                                             # [N, k]
 
     weights, means, covs = m_step(onehot)
-    weights = weights0 * 0 + weights  # keep shapes; kmeans init dominates
 
     def body(_, carry):
         weights, means, covs = carry

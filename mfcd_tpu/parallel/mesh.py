@@ -102,9 +102,9 @@ def _shard_train_step(params, opt, u, i, j, z, mask, lr, wd):
             return total_sum / jnp.maximum(total_cnt, 1)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        # loss_fn already sums over 'data'; its gradient is correct per
-        # shard, but each shard only saw its local rows — average the U/V
-        # row-gradient contributions across the data axis.
+        # loss_fn's mean already divides by the psum'd global count, so each
+        # shard's local gradient is the true gradient restricted to its own
+        # rows — summing (psum) the shards reassembles the full gradient.
         grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
         p2, o2 = adam_update(p, grads, o, blr, bwd)
         return p2, o2, loss

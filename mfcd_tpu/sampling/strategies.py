@@ -220,6 +220,10 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3):
 
 # === USER SIMILARITY (reference ``generation_data.py:251-338``) ==========
 
+# Candidate rows per streamed chunk of the user_similarity sampler; the
+# live top-set masks are [_US_CHUNK, m] (~40MB of bools at m=10k).
+_US_CHUNK = 4096
+
 def propose_user_similarity(key, x, m_draw, num_triplets: int):
     """Cosine-similar users' divergent top items.
 
@@ -247,18 +251,36 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int):
     ku, kv, ki, kj, kf = jax.random.split(key, 5)
     u = jax.random.randint(ku, (m_draw,), 0, n)
     v = neighbors[u, jax.random.randint(kv, (m_draw,), 0, num_neighbors)]
-    mask_u = topk_mask[u]                                      # [M, m]
-    mask_v = topk_mask[v]
-    only_u = mask_u & ~mask_v
-    only_v = mask_v & ~mask_u
-    have_diff = jnp.any(only_u, axis=1) & jnp.any(only_v, axis=1)
 
     def masked_uniform(kk, mask):
         logits = jnp.where(mask, 0.0, -1e30)
         return jax.random.categorical(kk, logits, axis=-1).astype(jnp.int32)
 
-    i_diff = masked_uniform(ki, only_u)
-    j_diff = masked_uniform(kj, only_v)
+    # The top-set membership masks are [chunk, m], not [M, m]: the M axis
+    # is streamed through lax.map so live memory is O(chunk*m), which keeps
+    # the sampler viable at 10k+ items (M can be millions of candidates).
+    chunk = min(_US_CHUNK, m_draw)
+    pad = (-m_draw) % chunk
+    nchunks = (m_draw + pad) // chunk
+    u_p = jnp.pad(u, (0, pad)) if pad else u
+    v_p = jnp.pad(v, (0, pad)) if pad else v
+
+    def body(args):
+        kki, kkj, u_c, v_c = args
+        mask_u = topk_mask[u_c]                                # [chunk, m]
+        mask_v = topk_mask[v_c]
+        only_u = mask_u & ~mask_v
+        only_v = mask_v & ~mask_u
+        have = jnp.any(only_u, axis=1) & jnp.any(only_v, axis=1)
+        return masked_uniform(kki, only_u), masked_uniform(kkj, only_v), have
+
+    i_diff, j_diff, have_diff = jax.lax.map(
+        body,
+        (jax.random.split(ki, nchunks), jax.random.split(kj, nchunks),
+         u_p.reshape(nchunks, chunk), v_p.reshape(nchunks, chunk)))
+    i_diff = i_diff.reshape(-1)[:m_draw]
+    j_diff = j_diff.reshape(-1)[:m_draw]
+    have_diff = have_diff.reshape(-1)[:m_draw]
     # Fallback: distinct pair from top(u).
     pa, pb = _distinct_pos(kf, m_draw, top_k_items)
     i_fb = topk_idx[u, pa]

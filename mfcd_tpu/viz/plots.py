@@ -182,12 +182,19 @@ def print_results(results, indices=None, params_off=False, metric=None):
 
 
 def smart_formatter(val):
-    """Human-readable tick formatting (reference ``visualization.py:900-924``)."""
+    """Human-readable tick formatting (reference ``visualization.py:900-924``).
+
+    Moderate values use the reference's comma-locale decimal rendering
+    (thousands separated by spaces, decimal comma), e.g. 2.50 -> "2,5".
+    """
     if val == 0:
         return "0"
     abs_val = abs(val)
     if 1e-2 <= abs_val < 1e3:
-        return f"{val:.2f}".rstrip("0").rstrip(".")
+        return (
+            f"{val:,.2f}".replace(",", " ").replace(".", ",")
+            .rstrip("0").rstrip(",")
+        )
     exponent = int(np.floor(np.log10(abs_val)))
     base = round(val / (10**exponent), 1)
     if base == 1.0:

@@ -1,4 +1,9 @@
-"""Canonical sweep definitions (experiments/runs.py vs Runs.ipynb grids)."""
+"""Canonical sweep definitions (experiments/runs.py vs Runs.ipynb grids).
+
+Each test asserts the notebook's *literal* parameters (the acceptance
+grids, VERDICT round-1 item 3) — any drift from ``Runs.ipynb`` cells
+3-23 fails here.
+"""
 
 import numpy as np
 
@@ -30,64 +35,134 @@ def _capture(monkeypatch):
 
 
 def test_s_p_sweep_grid(monkeypatch):
+    """Runs.ipynb cell 3 literals."""
     calls = _capture(monkeypatch)
     runs.s_p_sweep(scale=0.1)
     kw = calls[0]
     assert kw["n"] == kw["m"] == 100
-    assert len(kw["s"]) == 33          # logspace(-1,1,20)+3 extras+logspace(1,2,10)
-    assert kw["p"] == [0.1, 0.2, 0.3, 0.4, 0.5]
+    expect_s = np.concatenate([
+        np.logspace(-1, 1, 20), [1e-4, 1e-3, 1e-2], np.logspace(1, 2, 10)])
+    assert np.allclose(kw["s"], expect_s)
+    assert kw["p"] == [0.1, 0.15, 0.2, 0.25, 0.35, 0.5]
+    assert kw["K"] == [1]
+    assert kw["lr"] == [1e-3]
     assert kw["weight_decay"] == [5e-6, 5e-3]
-    assert kw["K"] == 1 and kw["soft_label"] is True
+    assert kw["soft_label"] is True and kw["linear"] is False
     assert kw["num_epochs"] == 30 and kw["reps"] == 5
+    assert kw["save_every"] == 4
 
 
 def test_s_k_sweep_grid(monkeypatch):
+    """Runs.ipynb cell 5 literals."""
     calls = _capture(monkeypatch)
     runs.s_k_sweep(scale=0.1)
     kw = calls[0]
+    expect_s = np.concatenate([
+        np.logspace(-1, 1, 20), [1e-4, 1e-3, 1e-2], np.logspace(1, 3, 10)])
+    assert np.allclose(kw["s"], expect_s)
     assert kw["K"] == [1, 2, 4, 10, 50]
-    assert len(kw["weight_decay"]) == 7
-    assert kw["p"] == 0.2
+    assert kw["weight_decay"] == [1e-6, 5e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3]
+    assert kw["p"] == 0.2 and kw["lr"] == 1e-3
+    assert kw["soft_label"] is True and kw["reps"] == 5
 
 
 def test_pk_const_sweep_linear_and_derived(monkeypatch):
+    """Runs.ipynb cell 7 literals (p*K constants, 4 s-blocks)."""
     calls = _capture(monkeypatch)
     out = runs.pk_const_sweep(scale=0.1)
     kw = calls[0]
-    assert kw["linear"] is True
+    assert kw["linear"] is True and kw["soft_label"] is True
     assert len(kw["p"]) == len(kw["K"]) == len(kw["s"])
+    # 9 constants x 7 K values (p=c/K <= 1 always) x 4 s blocks.
+    assert len(kw["p"]) == 9 * 7 * 4
+    assert kw["s"][:63] == [1.0] * 63 and kw["s"][-63:] == [8] * 63
+    assert sorted(set(kw["K"])) == [1, 2, 3, 4, 5, 7, 10]
+    assert kw["lr"] == 0.001 and kw["weight_decay"] == 1e-5
+    assert kw["reps"] == 5
     # p * K == pxK for every experiment (derived param patched post-hoc).
     for exp in out:
         assert abs(
             exp["params"]["p"] * exp["params"]["K"] - exp["params"]["pxK"]
-        ) < 1e-6
+        ) < 1e-4
 
 
-def test_ps_const_sweep_derived(monkeypatch):
+def test_p_k_sweep_grid(monkeypatch):
+    """Runs.ipynb cell 9 literals."""
     calls = _capture(monkeypatch)
-    out = runs.ps_const_sweep(scale=0.1)
-    for exp in out:
-        assert abs(
-            exp["params"]["p"] * exp["params"]["s"] - exp["params"]["p*s"]
-        ) < 1e-3
+    runs.p_k_sweep(scale=0.1)
+    kw = calls[0]
+    expect_p = np.concatenate([
+        np.logspace(-2, np.log10(0.2), 20), [1e-4, 5e-3, 1e-3, 0.5, 0.8]])
+    assert np.allclose(kw["p"], expect_p)
+    assert kw["K"] == [1, 2, 3, 5, 10] and kw["s"] == 5.0
+    assert kw["lr"] == 0.001 and kw["weight_decay"] == 1e-5
+    assert kw["soft_label"] is True and kw["reps"] == 5
+
+
+def test_ps_const_pairs_enumeration():
+    """Cell 11's torch.arange pair construction: 99 pairs, all on-target."""
+    p_values, s_values = runs.ps_const_pairs()
+    assert len(p_values) == len(s_values) == 99
+    targets = [0.5, 0.35, 0.25, 0.20, 0.12, 0.15]
+    for p, s in zip(p_values, s_values):
+        assert min(abs(p * s - c) for c in targets) < 1e-3
+
+
+def test_ps_const_sweep_grid(monkeypatch):
+    """Runs.ipynb cell 11 literals."""
+    calls = _capture(monkeypatch)
+    runs.ps_const_sweep(scale=0.1)
+    kw = calls[0]
+    assert kw["linear"] is True and kw["soft_label"] is True
+    assert len(kw["p"]) == len(kw["s"]) == len(kw["lr"]) == 99
+    assert kw["K"] == 1 and kw["weight_decay"] == 1e-5 and kw["reps"] == 5
 
 
 def test_p_d_sweep_grid(monkeypatch):
+    """Runs.ipynb cell 13 literals."""
     calls = _capture(monkeypatch)
     runs.p_d_sweep(scale=0.1)
     kw = calls[0]
     assert kw["p"] == [0.1, 0.2, 0.5, 0.8, 1.0]
     assert kw["d"] == [2, 4, 6, 8, 10]
+    assert kw["s"] == 5 and kw["K"] == 1
+    assert kw["lr"] == 1e-3 and kw["weight_decay"] == 1e-5
+    assert kw["reps"] == 5
 
 
-def test_strategy_sweeps_cover_seven(monkeypatch):
+def test_strategies_s_sweep_cell16(monkeypatch):
+    """Runs.ipynb cell 16: cluster included, random excluded, hard labels."""
     calls = _capture(monkeypatch)
     out = runs.strategies_s_sweep(scale=0.1)
+    assert set(out) == {
+        "proximity", "margin", "variance", "popularity", "top_k",
+        "cluster", "svd",
+    }
+    assert len(calls) == 7
+    kw = calls[0]
+    expect_s = np.concatenate([
+        np.logspace(-1, 1, 20), [1e-4, 1e-3, 1e-2], np.logspace(1, 4, 10)])
+    assert np.allclose(kw["s"], expect_s)
+    assert kw["weight_decay"] == [1e-6, 1e-5, 1e-4]
+    assert kw["p"] == 0.2 and kw["K"] == 1 and kw["lr"] == 1e-3
+    assert kw["soft_label"] is False and kw["reps"] == 3
+    assert kw["save_every"] == 5
+
+
+def test_strategies_p_sweep_cell18(monkeypatch):
+    """Runs.ipynb cell 18: random included, cluster excluded, soft labels."""
+    calls = _capture(monkeypatch)
+    out = runs.strategies_p_sweep(scale=0.1)
     assert set(out) == {
         "random", "proximity", "margin", "variance", "popularity",
         "top_k", "svd",
     }
     assert len(calls) == 7
+    kw = calls[0]
+    expect_p = np.round(np.logspace(-2, np.log10(0.2), 20), 4).tolist()
+    assert kw["p"] == expect_p
+    assert kw["s"] == 5 and kw["weight_decay"] == 1e-5
+    assert kw["soft_label"] is True and kw["reps"] == 3
 
 
 def test_main_list(capsys):

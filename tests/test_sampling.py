@@ -207,3 +207,49 @@ def test_split_with_shortfall():
         int(splits.train_count) + int(splits.val_count)
         + int(splits.test_count) == 57
     )
+
+
+def test_user_similarity_chunked_10k():
+    """10k x 10k smoke test: the chunked top-set masks keep memory at
+    O(chunk*m) so the sampler scales past n=m=1000 (VERDICT r1 item 7)."""
+    n = m = 10_000
+    key = jax.random.key(11)
+    x = jax.random.normal(key, (n, m), jnp.float32)
+    t = 2000  # m_draw = max(2t, 10k) = 10k -> 3 streamed chunks of 4096
+    ts = sample_triplets(jax.random.key(3), x, t, strategy="user_similarity")
+    cnt = int(ts.count)
+    assert cnt == t
+    rows = np.asarray(ts.triplets[:cnt])
+    assert rows[:, 0].min() >= 0 and rows[:, 0].max() < n
+    assert rows[:, 1:].min() >= 0 and rows[:, 1:].max() < m
+    assert (rows[:, 1] != rows[:, 2]).all()
+    assert len({tuple(r) for r in rows.tolist()}) == cnt
+
+
+def test_user_similarity_chunking_same_constraints():
+    """The padded multi-chunk path satisfies the same sampler invariants as
+    the single-chunk path (i in top(u)\\top(v) or fallback pair from top(u));
+    per-chunk RNG keys make the draws themselves differ by design."""
+    from mfcd_tpu.sampling import strategies as S
+
+    x = generate_x(jax.random.key(5), 60, 80, 3, "base")
+    key = jax.random.key(9)
+    old_chunk = S._US_CHUNK
+    try:
+        S._US_CHUNK = 128  # force 3 padded chunks for m_draw=300
+        cands, valid = S.propose_user_similarity(key, x, 300, 100)
+    finally:
+        S._US_CHUNK = old_chunk
+    cands = np.asarray(cands)
+    valid = np.asarray(valid)
+    assert cands.shape == (300, 3) and valid.shape == (300,)
+    u, i, j = cands.T
+    assert (u >= 0).all() and (u < 60).all()
+    assert (i >= 0).all() and (i < 80).all()
+    assert (j >= 0).all() and (j < 80).all()
+    assert (i[valid] != j[valid]).all()
+    # Every sampled i must be a top-k item of its user (holds on both the
+    # difference-set and fallback branches).
+    tk = max(3, min(80 // 10, 10 + 100 // (5 * 60)))
+    top = np.asarray(jax.lax.top_k(x, tk)[1])
+    assert all(ii in top[uu] for uu, ii in zip(u, i))

@@ -113,7 +113,10 @@ def test_find_fixed_indices():
 
 def test_smart_formatter():
     assert viz.smart_formatter(0) == "0"
-    assert viz.smart_formatter(0.5) == "0.5"
+    # Reference comma-locale rendering (visualization.py:915): decimal comma,
+    # space thousands separator, trailing zeros stripped.
+    assert viz.smart_formatter(0.5) == "0,5"
+    assert viz.smart_formatter(2.0) == "2"
     assert "10^" in viz.smart_formatter(1e-5)
 
 
