@@ -17,9 +17,10 @@ Capability match for ``evaluate_model`` / ``compute_reconstruction_error`` /
 - test loss/accuracy are mean-of-batch-means / correct-over-total
   (``structure.py:909-921``).
 
-Spearman rank correlation uses double-argsort ordinal ranks; for continuous
-X ties have measure zero, so this matches scipy's tie-averaged ranks (the
-difference is documented and covered by tests).
+Spearman rank correlation uses ordinal ranks computed sort-free (counting
+comparisons on the VPU — XLA sorts cost minutes of TPU compile per shape);
+for continuous X ties have measure zero, so this matches scipy's
+tie-averaged ranks (the difference is documented and covered by tests).
 """
 
 from __future__ import annotations
@@ -99,15 +100,38 @@ def _rowwise_pearson(xc: jax.Array, uc: jax.Array) -> jax.Array:
     return num / jnp.maximum(den, 1e-30)
 
 
+# Row-block size for the counting ranker: [_RANK_BLOCK, m, m] comparison
+# cubes live at a time (16 x 1000 x 1000 bools = 16MB per vmapped run).
+_RANK_BLOCK = 16
+
+
 def _ranks(a: jax.Array) -> jax.Array:
-    """Ordinal ranks per row via double argsort (ties broken by index)."""
-    order = jnp.argsort(a, axis=1)
-    n_rows, n_cols = a.shape
-    ranks = jnp.zeros_like(a)
-    row_idx = jnp.arange(n_rows)[:, None]
-    col_rank = jnp.broadcast_to(
-        jnp.arange(n_cols, dtype=a.dtype)[None, :], a.shape)
-    return ranks.at[row_idx, order].set(col_rank)
+    """Ordinal ranks per row (ties broken by index), sort-free.
+
+    rank_i = #{j : a_j < a_i} + #{j < i : a_j == a_i} — identical to the
+    stable argsort-scatter construction, but built from VPU comparisons so
+    no XLA sort is emitted (TPU sorts cost minutes of compile per shape;
+    this was the dominant per-bucket compile cost, VERDICT r1 item 6).
+    The row axis streams through ``lax.map`` in fixed blocks to bound the
+    [block, m, m] comparison cube.
+    """
+    n_rows, m = a.shape
+    col_lt = (jnp.arange(m)[None, :] < jnp.arange(m)[:, None])  # j < i
+
+    def block_ranks(rows):                                       # [B, m]
+        ai = rows[:, :, None]                                    # value at i
+        aj = rows[:, None, :]                                    # value at j
+        cnt = jnp.sum(
+            (ai > aj) | ((ai == aj) & col_lt[None]), axis=2,
+            dtype=jnp.int32,
+        )
+        return cnt.astype(a.dtype)
+
+    block = min(_RANK_BLOCK, n_rows)
+    pad = (-n_rows) % block
+    padded = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+    out = jax.lax.map(block_ranks, padded.reshape(-1, block, m))
+    return out.reshape(-1, m)[:n_rows]
 
 
 def _masked_mean_std(vals: jax.Array, mask: jax.Array):
@@ -236,8 +260,13 @@ def compute_all_metrics(
     out = compute_alignment_metrics(params, x, spectrum_key=k_spec)
 
     # 2 random rows for visual inspection (reference ``structure.py:388-392``).
+    # Uniform distinct pair without a permutation (sorts cost compile time).
     uvt_full = params.U @ params.V.T
-    rand = jax.random.permutation(k_rows, x.shape[0])[:2]
+    kr0, kr1 = jax.random.split(k_rows)
+    r0 = jax.random.randint(kr0, (), 0, x.shape[0])
+    r1 = jax.random.randint(kr1, (), 0, x.shape[0] - 1)
+    r1 = r1 + (r1 >= r0).astype(r1.dtype)
+    rand = jnp.stack([r0, r1])
     out.update(
         {
             "accuracy": test_acc,

@@ -176,7 +176,7 @@ def _epoch_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("b1", "b2", "eps", "interpret")
+    jax.jit, static_argnames=("b1", "b2", "eps", "interpret", "chunk_batches")
 )
 def pallas_train_epoch(
     state: EpochState,
@@ -188,6 +188,7 @@ def pallas_train_epoch(
     b2: float = 0.999,
     eps: float = 1e-8,
     interpret: bool = False,
+    chunk_batches: int | None = None,
 ):
     """One full training epoch per run, fused into a single TPU kernel.
 
@@ -200,8 +201,9 @@ def pallas_train_epoch(
     bs = pu.shape[2]
     # Chunk the batch axis so the streamed (pu, pi, pj, z) blocks fit VMEM
     # alongside the resident state: ~512KB per array per chunk (x4 arrays,
-    # x2 for pipelining = ~4MB of streaming buffers).
-    chunk = max(1, min(num_batches, (512 * 1024) // (bs * 4)))
+    # x2 for pipelining = ~4MB of streaming buffers).  ``chunk_batches``
+    # overrides the heuristic (used by the envelope-probe script).
+    chunk = chunk_batches or max(1, min(num_batches, (512 * 1024) // (bs * 4)))
     n_chunks = -(-num_batches // chunk)
     pad_b = n_chunks * chunk - num_batches
     if pad_b:

@@ -160,3 +160,36 @@ def test_masked_rows_ignored():
         params, _split(u2, i2, j2, z2, count=4), batch_size=2)
     np.testing.assert_allclose(float(full_loss), float(masked_loss), rtol=1e-6)
     np.testing.assert_allclose(float(full_acc), float(masked_acc), rtol=1e-6)
+
+
+def test_counting_ranks_match_stable_argsort():
+    """The sort-free ranker must equal stable-argsort ordinal ranks,
+    including tie-broken-by-index semantics and padded row blocks."""
+    from mfcd_tpu.eval.metrics import _ranks
+
+    def ranks_argsort(a):
+        order = jnp.argsort(a, axis=1)
+        ranks = jnp.zeros_like(a)
+        row_idx = jnp.arange(a.shape[0])[:, None]
+        col_rank = jnp.broadcast_to(
+            jnp.arange(a.shape[1], dtype=a.dtype)[None, :], a.shape)
+        return ranks.at[row_idx, order].set(col_rank)
+
+    for shape, ties in [((7, 13), False), ((33, 50), True), ((16, 16), True)]:
+        a = jax.random.normal(jax.random.key(sum(shape)), shape)
+        if ties:
+            a = jnp.round(a * 2) / 2
+        np.testing.assert_array_equal(
+            np.asarray(_ranks(a)), np.asarray(ranks_argsort(a)))
+
+
+def test_sampled_rows_distinct():
+    """The 2 inspection rows are always distinct (reference uses a
+    no-replacement choice)."""
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.sweep.engine import run_config
+
+    out = run_config(RunConfig(n=20, m=24, d=2, p=0.5, num_epochs=1, reps=3))
+    for rep_rows in out["sampled_X_rows"]:
+        r0, r1 = np.asarray(rep_rows)
+        assert not np.array_equal(r0, r1)

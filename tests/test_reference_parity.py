@@ -5,6 +5,13 @@ framework on the same protocol and compares distribution-level outcomes —
 the SURVEY §7 "seed-faithful within statistical tolerance" requirement.
 RNG streams cannot match bitwise across frameworks; what must match is the
 protocol: distributions, split fractions, K-semantics, optimizer math.
+
+Five protocol points (VERDICT r1 item 5): base/random K=1, soft-label K=5,
+a constrained strategy (proximity), K=10 hard labels, and a pair-mode
+generator (structured).  Assertions are confidence-interval based: with
+``reps`` independent repetitions per side, the difference of means is
+compared against ``z``·SE(Welch) plus a small quantization floor.  The
+achievable statistical bound this implies is documented in PARITY.md.
 """
 
 import os
@@ -18,6 +25,10 @@ REF = "/root/reference"
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference mirror not mounted"
 )
+
+REPS = 10
+Z = 4.0          # conservative two-sample z bound (false-alarm ~6e-5)
+FLOOR = 0.015    # metric quantization floor (1/num_test_points scale)
 
 
 @pytest.fixture(scope="module")
@@ -33,54 +44,76 @@ def reference():
     return structure
 
 
-CFG = dict(n=60, m=60, d=3, p=0.5, s=5.0, lr=1e-2, weight_decay=1e-5,
-           num_epochs=15, K=1)
-
-
-def test_matches_reference_statistics(reference):
-    reps = 3
-    ref_out = reference.run_experiment(device="cpu", reps=reps, **CFG)
-    import mfcd_tpu
-
-    our_out = mfcd_tpu.run_experiment(reps=reps, **CFG)
-
-    for key, tol in [
-        ("gt_accuracy", 0.06),
-        ("accuracy", 0.08),
-        ("reconstruction_error_scaled", 0.12),
-        ("pearson_corr", 0.15),
-        ("spearman_corr", 0.15),
-    ]:
-        ref_mean = float(np.mean(ref_out[key]))
-        our_mean = float(np.mean(our_out[key]))
-        assert abs(ref_mean - our_mean) < tol, (
-            f"{key}: reference {ref_mean:.4f} vs ours {our_mean:.4f}"
+def _ci_assert(ref_out, our_out, keys, reps=REPS, z=Z, floor=FLOOR):
+    """Welch CI comparison of per-rep metric samples from both sides."""
+    for key in keys:
+        ref = np.asarray(ref_out[key], dtype=float)
+        ours = np.asarray(our_out[key], dtype=float)
+        se = np.sqrt(ref.var(ddof=1) / len(ref) + ours.var(ddof=1) / len(ours))
+        bound = z * se + floor
+        delta = abs(ref.mean() - ours.mean())
+        print(f"    {key}: ref={ref.mean():.4f} ours={ours.mean():.4f} "
+              f"|delta|={delta:.4f} bound={bound:.4f}")
+        assert delta < bound, (
+            f"{key}: reference {ref.mean():.4f} vs ours {ours.mean():.4f} "
+            f"(|delta|={delta:.4f} exceeds z*SE+floor={bound:.4f})"
         )
 
-    # alpha should approximate 1/s in both (Plots.ipynb overlays 1/s).
-    assert abs(np.mean(our_out["alpha"]) - np.mean(ref_out["alpha"])) < 0.1
 
-    # Loss curves land in the same regime.
-    ref_final = np.mean([t[-1] for t in ref_out["train_losses"]])
-    our_final = np.mean([t[-1] for t in our_out["train_losses"]])
-    assert abs(ref_final - our_final) < 0.08
-
-
-def test_matches_reference_statistics_soft_k(reference):
-    """Second protocol point: soft labels with K=5 redundancy."""
-    reps = 3
-    cfg = dict(n=50, m=50, d=2, p=0.6, s=3.0, lr=1e-2, weight_decay=1e-5,
-               num_epochs=12, K=5, soft_label=True)
+def _both(reference, cfg, reps=REPS):
     ref_out = reference.run_experiment(device="cpu", reps=reps, **cfg)
     import mfcd_tpu
 
     our_out = mfcd_tpu.run_experiment(reps=reps, **cfg)
-    for key, tol in [("gt_accuracy", 0.06), ("accuracy", 0.09),
-                     ("pearson_corr", 0.2)]:
-        ref_mean = float(np.mean(ref_out[key]))
-        our_mean = float(np.mean(our_out[key]))
-        assert abs(ref_mean - our_mean) < tol, (
-            f"{key}: reference {ref_mean:.4f} vs ours {our_mean:.4f}")
+    return ref_out, our_out
+
+
+def test_parity_p1_base_random(reference):
+    """P1: canonical protocol — base generation, random strategy, K=1."""
+    cfg = dict(n=60, m=60, d=3, p=0.5, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=15, K=1)
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, [
+        "gt_accuracy", "accuracy", "reconstruction_error_scaled",
+        "pearson_corr", "spearman_corr", "alpha",
+    ])
+    # Loss curves land in the same regime (final-epoch train loss).
+    ref_final = np.asarray([t[-1] for t in ref_out["train_losses"]], float)
+    our_final = np.asarray([t[-1] for t in our_out["train_losses"]], float)
+    _ci_assert({"final_train_loss": ref_final},
+               {"final_train_loss": our_final}, ["final_train_loss"])
+
+
+def test_parity_p2_soft_k5(reference):
+    """P2: soft labels with K=5 redundancy."""
+    cfg = dict(n=50, m=50, d=2, p=0.6, s=3.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=5, soft_label=True)
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
+def test_parity_p3_proximity_strategy(reference):
+    """P3: a constrained sampler (proximity top-k/bottom-k pairs)."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="proximity")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
+def test_parity_p4_hard_k10(reference):
+    """P4: K=10 hard labels (each triplet contributes 10 vote rows)."""
+    cfg = dict(n=50, m=50, d=2, p=0.3, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=10)
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "alpha"])
+
+
+def test_parity_p5_structured_generation(reference):
+    """P5: a pair-mode generator (structured U,Vᵀ latent clusters)."""
+    cfg = dict(n=60, m=60, d=3, p=0.5, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, generation="structured")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy"])
 
 
 def test_triplet_budget_matches_reference_formula(reference):
