@@ -268,10 +268,17 @@ def pallas_epoch_supported(n: int, m: int, d: int, num_batches: int,
     dimension), so only the resident state + one chunk + the one-hot
     working set must fit.
     """
-    # Validated envelope: row counts past ~2^19 (8+ streamed chunks at the
-    # canonical batch size) have produced TPU worker crashes; fall back to
-    # the jnp trainer beyond it until the Mosaic issue is pinned down.
-    if num_batches * batch_size > 524_288:
+    # Row-count envelope: round-1 observed TPU worker crashes past 2^19
+    # rows, but a full probe matrix (scripts/pallas_probe.py: bare kernel,
+    # 8-16 streamed chunks, 8-run grids, 30-epoch lax.scan trainer, and the
+    # real engine at K=10/p=0.2/n=m=1000 = 2^20 padded rows) reproduces
+    # none of them on the current worker — the crash tracked the old
+    # libtpu, not this kernel.  The envelope is now set by VMEM fit below;
+    # MFCD_PALLAS_MAX_ROWS offers an emergency override.
+    import os
+
+    max_rows = int(os.environ.get("MFCD_PALLAS_MAX_ROWS", "0"))
+    if max_rows and num_batches * batch_size > max_rows:
         return False
 
     def padded(rows, cols):

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--bs", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=1,
                     help="sequential kernel launches (state round-trips)")
+    ap.add_argument("--trainer", action="store_true",
+                    help="drive train_runs_pallas (kernel inside lax.scan "
+                         "with shuffle+gather) instead of the bare kernel")
     ap.add_argument("--check", action="store_true",
                     help="compare one small-config loss vs the jnp trainer")
     args = ap.parse_args()
@@ -69,15 +72,48 @@ def main():
 
     t0 = time.time()
     try:
-        loss = None
-        for e in range(args.epochs):
-            step0 = jnp.full((r,), float(e * num_batches), jnp.float32)
-            state, loss = pallas_train_epoch(
-                state, pu, pi, pj, z, lr, wd, step0, count,
-                chunk_batches=args.chunk,
+        if args.trainer:
+            from mfcd_tpu.data.btl import LabeledSplit
+            from mfcd_tpu.models.mf import MFParams
+            from mfcd_tpu.train.pallas_trainer import train_runs_pallas
+
+            kt = jax.random.split(ks[6], 6)
+            params = MFParams(
+                U=jnp.swapaxes(state.u_t, 1, 2),
+                V=jnp.swapaxes(state.v_t, 1, 2),
             )
-        loss = jax.device_get(loss)
-        moved = float(jnp.abs(state.u_t).max())
+            flat = lambda a: a.reshape(r, num_batches * bs)
+            train = LabeledSplit(
+                flat(pu), flat(pi), flat(pj), flat(z),
+                jnp.arange(num_batches * bs)[None, :] < count[:, None],
+                count,
+            )
+            vrows = 1024
+            vu = jax.random.randint(kt[0], (r, vrows), 0, n, jnp.int32)
+            vi = jax.random.randint(kt[1], (r, vrows), 0, m, jnp.int32)
+            vj = jax.random.randint(kt[2], (r, vrows), 0, m, jnp.int32)
+            vj = jnp.where(vj == vi, (vj + 1) % m, vj)
+            vz = jax.random.bernoulli(kt[3], 0.5, (r, vrows)).astype(
+                jnp.float32)
+            val = LabeledSplit(vu, vi, vj, vz,
+                               jnp.ones((r, vrows), bool),
+                               jnp.full((r,), vrows, jnp.int32))
+            ekeys = jax.random.split(kt[4], r)
+            new_params, tl, vl = train_runs_pallas(
+                params, train, val, ekeys, lr, wd,
+                batch_size=bs, num_epochs=args.epochs)
+            loss = jax.device_get(tl[:, -1])
+            moved = float(jnp.abs(new_params.U).max())
+        else:
+            loss = None
+            for e in range(args.epochs):
+                step0 = jnp.full((r,), float(e * num_batches), jnp.float32)
+                state, loss = pallas_train_epoch(
+                    state, pu, pi, pj, z, lr, wd, step0, count,
+                    chunk_batches=args.chunk,
+                )
+            loss = jax.device_get(loss)
+            moved = float(jnp.abs(state.u_t).max())
         ok = bool(jnp.all(jnp.isfinite(jnp.asarray(loss)))) and moved > 0
         dt = time.time() - t0
         print(f"RESULT {'ok' if ok else 'NONFINITE'} rows={rows} "
