@@ -241,6 +241,29 @@ def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
     return all_results
 
 
+GENERATIONS_SWEPT = ("gmm", "clustered")
+
+
+def generation_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
+                       reps=3, generations=GENERATIONS_SWEPT):
+    """Production-scale validation sweep over non-`base` generation modes
+    (not a notebook cell — proves the jittable KMeans/EM generator paths
+    under the real engine at n=1000; VERDICT r1 item 4)."""
+    n = m = int(1000 * scale) or 10
+    all_results = {}
+    for generation in generations:
+        path = f"{out}_{generation}.pkl" if out else None
+        all_results[generation] = _scan(
+            fast, n=n, m=m, d=2, p=0.2, lr=1e-3, K=1,
+            s=list(np.logspace(-1, 1, 10)),
+            weight_decay=1e-5,
+            generation=generation, num_epochs=30, reps=reps,
+            linear=False, soft_label=False,
+            save_path=path, save_every=save_every,
+        )
+    return all_results
+
+
 def gt_p_k_sweep(out=None, fast=False, scale=1.0, reps=5):
     """Runs.ipynb cell 21: ground-truth-only p x K scan."""
     n = m = int(1000 * scale) or 10
@@ -276,7 +299,7 @@ ALL = {
     for fn in (
         s_p_sweep, s_k_sweep, pk_const_sweep, p_k_sweep, ps_const_sweep,
         p_d_sweep, strategies_s_sweep, strategies_p_sweep,
-        gt_p_k_sweep, gt_d_s_sweep,
+        generation_s_sweep, gt_p_k_sweep, gt_d_s_sweep,
     )
 }
 

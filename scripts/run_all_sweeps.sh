@@ -1,0 +1,61 @@
+#!/bin/bash
+# Sequential execution of the faithful Runs.ipynb grids on the real chip.
+# One TPU process at a time (CLAUDE.md rule); each step is independent and
+# logs its own outcome, so a failure doesn't cascade.  Pickles land in the
+# reference's own directory layout (Data_final/, Data_strategies/).
+set -u
+cd /root/repo
+export PYTHONPATH="/root/repo:/root/.axon_site"
+LOG=${LOG:-/tmp/all_sweeps.log}
+
+run_step() {
+  local name="$1"; shift
+  echo "=== STEP $name start $(date +%H:%M:%S) ===" >> "$LOG"
+  if "$@" >> "$LOG" 2>&1; then
+    echo "=== STEP $name OK $(date +%H:%M:%S) ===" >> "$LOG"
+  else
+    echo "=== STEP $name FAILED rc=$? $(date +%H:%M:%S) ===" >> "$LOG"
+  fi
+}
+
+mkdir -p Data_final Data_strategies
+
+# Non-base generators at production scale (VERDICT item 4b).
+run_step generation_s python -m experiments.runs generation_s_sweep --fast \
+  --out Data_strategies/run_vs_s_K1_generation
+
+# Cell 18: strategies x p, soft labels.
+run_step cell18 python -m experiments.runs strategies_p_sweep --fast \
+  --out Data_strategies/run_vs_p
+
+# Cell 3: s x p x wd grid (faithful p list), soft labels.
+run_step cell3 python -m experiments.runs s_p_sweep --fast \
+  --out Data_final/scan_K1_fixedLR_varS_varP_full_4.pkl
+
+# Cells 21 + 23: ground-truth-only scans.
+run_step cell21 python -m experiments.runs gt_p_k_sweep \
+  --out Data_final/gt_scan_s5_Ksweep_pSweep_n1000.pkl
+run_step cell23 python -m experiments.runs gt_d_s_sweep \
+  --out Data_final/scan_d_s_gt.pkl
+
+# Cell 9: p x K at s=5, soft labels.
+run_step cell9 python -m experiments.runs p_k_sweep --fast \
+  --out Data_final/scan_pK_Final.pkl
+
+# Cell 7: p*K constants (linear), soft labels, pxK enrichment.
+run_step cell7 python -m experiments.runs pk_const_sweep --fast \
+  --out Data_final/scan_pK_constant_Final_s_wd_sweep.pkl
+
+# Cell 11: p*s constants (linear), soft labels.
+run_step cell11 python -m experiments.runs ps_const_sweep --fast \
+  --out Data_final/scan_ps_constant_Final.pkl
+
+# Cell 13: p x d.
+run_step cell13 python -m experiments.runs p_d_sweep --fast \
+  --out Data_final/p_d_1.pkl
+
+# Cell 5 last (the heavyweight: K up to 50, ~4M-row buckets).
+run_step cell5 python -m experiments.runs s_k_sweep --fast \
+  --out Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl
+
+echo "=== ALL STEPS DONE $(date +%H:%M:%S) ===" >> "$LOG"

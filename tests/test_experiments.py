@@ -169,3 +169,14 @@ def test_main_list(capsys):
     assert runs.main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "s_p_sweep" in out and "gt_d_s_sweep" in out
+
+
+def test_generation_s_sweep_grid(monkeypatch):
+    """Round-2 validation sweep: non-base generators at production scale."""
+    calls = _capture(monkeypatch)
+    out = runs.generation_s_sweep(scale=0.1)
+    assert set(out) == {"gmm", "clustered"}
+    assert len(calls) == 2
+    kw = calls[0]
+    assert kw["generation"] == "gmm"
+    assert len(kw["s"]) == 10 and kw["p"] == 0.2 and kw["reps"] == 3
