@@ -136,16 +136,25 @@ def default_max_bucket(cfg: RunConfig) -> int:
     """Configs per program, bounded by a per-run device-memory estimate.
 
     Per run the program holds the n x m matrices (X and the metric-stage
-    UV^T materializations) plus ~a dozen row-length arrays (train split,
-    per-epoch gathered batch tensors, optimizer state is negligible).
-    A ~2GB working budget stays well under the observed crash thresholds
-    (K=1: ~320 runs crashed, 120 fine; K=2: 126 crashed).
+    UV^T materializations), ~a dozen row-length arrays (train split,
+    per-epoch gathered batch tensors; optimizer state is negligible), and
+    the sampling stage's overdraw working set (proposal candidates + dedup
+    hash table — dominant for constrained strategies like margin, whose
+    overdraw is O(n*m) regardless of the triplet budget).  A ~2GB working
+    budget stays under the observed OOM thresholds (K=1: ~320 runs
+    crashed, 120 fine; margin at 108 runs RESOURCE_EXHAUSTED).
     """
     from mfcd_tpu.sampling.dedup import _next_pow2
+    from mfcd_tpu.sampling.strategies import plan_overdraw
 
     sh = cfg.shapes()
     rows_pad = _next_pow2(max(sh.train_rows, 1))
-    per_run_bytes = cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
+    m_draw = plan_overdraw(
+        cfg.strategy, cfg.num_triplets, cfg.n, cfg.m,
+        popularity_method=cfg.popularity_method, alpha=cfg.alpha,
+    )
+    per_run_bytes = (cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
+                     + m_draw * 48)
     budget_runs = max(4, int(2e9 / per_run_bytes))
     return max(1, budget_runs // max(cfg.reps, 1))
 
@@ -195,8 +204,9 @@ def parameter_scan_fast(
         rep_cfg = configs[indices[0]]
         bucket_cap = (max_bucket if max_bucket is not None
                       else default_max_bucket(rep_cfg))
-        for lo in range(0, len(indices), bucket_cap):
-            chunk = indices[lo:lo + bucket_cap]
+        def _run_chunk(chunk):
+            """Run a chunk; on device OOM, bisect it (the budget estimate
+            is a heuristic — halving converges to a fitting size)."""
             rows = [
                 {
                     "s": configs[i].s,
@@ -205,7 +215,19 @@ def parameter_scan_fast(
                 }
                 for i in chunk
             ]
-            outs = run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh)
+            try:
+                return run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh)
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or len(chunk) <= 1:
+                    raise
+                mid = len(chunk) // 2
+                print(f"⚠️ device OOM on a {len(chunk)}-config chunk; "
+                      f"bisecting")
+                return _run_chunk(chunk[:mid]) + _run_chunk(chunk[mid:])
+
+        for lo in range(0, len(indices), bucket_cap):
+            chunk = indices[lo:lo + bucket_cap]
+            outs = _run_chunk(chunk)
             for i, res in zip(chunk, outs):
                 slot_results[i] = res
             if save_path:
