@@ -54,6 +54,13 @@ run_step cell11 python -m experiments.runs ps_const_sweep --fast \
 run_step cell13 python -m experiments.runs p_d_sweep --fast \
   --out Data_final/p_d_1.pkl
 
+# Cell 16: strategies x s (re-run when pickles are absent — the Data_*
+# directories are gitignored and do not survive environment resets).
+if [ ! -f Data_strategies/run_vs_s_K1_svd.pkl ]; then
+  run_step cell16 python -m experiments.runs strategies_s_sweep --fast \
+    --out Data_strategies/run_vs_s_K1
+fi
+
 # Cell 5 last (the heavyweight: K up to 50, ~4M-row buckets).
 run_step cell5 python -m experiments.runs s_k_sweep --fast \
   --out Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl
