@@ -39,25 +39,28 @@ def _load(path):
 
 def s_sweep_figures(pickle_path, outdir="Results_final", show=False):
     """Plots.ipynb cells 3-8: accuracy / reconstruction / correlations /
-    alpha vs s, grouped by K or p, split by weight decay."""
+    alpha vs s, grouped by K or p (whichever varies), split by weight
+    decay."""
     results = _load(pickle_path)
     os.makedirs(outdir, exist_ok=True)
+    group = "K" if len({e["params"]["K"] for e in results}) > 1 else "p"
+    tag = f"_by_{group}" if group != "p" else ""
     kw = dict(log_scale_x=True, sub_plot=True, font_scale=1.5,
               show_plot=show)
     plot_metrics_vs_param(
-        results, "s", ["accuracy"], group_by="p",
-        save_path=f"{outdir}/accuracy_vs_s", max_overall=True, **kw)
+        results, "s", ["accuracy"], group_by=group,
+        save_path=f"{outdir}/accuracy_vs_s{tag}", max_overall=True, **kw)
     plot_metrics_vs_param(
-        results, "s", ["reconstruction_error_scaled"], group_by="p",
-        save_path=f"{outdir}/reconstruction_scaled_vs_s", max_overall=True,
-        **kw)
+        results, "s", ["reconstruction_error_scaled"], group_by=group,
+        save_path=f"{outdir}/reconstruction_scaled_vs_s{tag}",
+        max_overall=True, **kw)
     plot_metrics_vs_param(
-        results, "s", ["pearson_corr"], group_by="p",
-        save_path=f"{outdir}/pearson_vs_s", max_overall=True,
+        results, "s", ["pearson_corr"], group_by=group,
+        save_path=f"{outdir}/pearson_vs_s{tag}", max_overall=True,
         fill_between=True, **kw)
     plot_metrics_vs_param(
-        results, "s", ["spearman_corr"], group_by="p",
-        save_path=f"{outdir}/spearman_vs_s", max_overall=True,
+        results, "s", ["spearman_corr"], group_by=group,
+        save_path=f"{outdir}/spearman_vs_s{tag}", max_overall=True,
         fill_between=True, **kw)
     wds = sorted({e["params"]["weight_decay"] for e in results})
     plot_alpha_vs_s(results, s_min=0.0, weight_decays=wds,
@@ -136,6 +139,25 @@ def strategy_figures(pickle_glob, outdir="Results_final", show=False):
     )
 
 
+def generation_figures(pickle_glob, outdir="Results_final", show=False):
+    """Generation-mode comparison (non-base X* generators swept over s):
+    accuracy and scaled reconstruction vs s, one curve per mode."""
+    import glob
+
+    merged = []
+    for path in sorted(glob.glob(pickle_glob)):
+        merged.extend(_load(path))
+    os.makedirs(outdir, exist_ok=True)
+    kw = dict(log_scale_x=True, sub_plot=True, font_scale=1.5,
+              max_overall=True, show_plot=show)
+    plot_metrics_vs_param(
+        merged, "s", ["accuracy"], group_by="generation",
+        save_path=f"{outdir}/generation_accuracy_vs_s", **kw)
+    plot_metrics_vs_param(
+        merged, "s", ["reconstruction_error_scaled"], group_by="generation",
+        save_path=f"{outdir}/generation_rec_vs_s", **kw)
+
+
 def gt_figures(pickle_path, outdir="Results_final", show=False):
     """Plots.ipynb cells 31-33: GT-oracle accuracy curves + SEM plot."""
     results = _load(pickle_path)
@@ -195,7 +217,8 @@ ALL = {
     fn.__name__: fn
     for fn in (
         s_sweep_figures, per_row_diagnostics, p_sweep_figures,
-        strategy_figures, gt_figures, loss_curves, heatmaps,
+        strategy_figures, generation_figures, gt_figures, loss_curves,
+        heatmaps,
     )
 }
 

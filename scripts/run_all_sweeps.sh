@@ -18,11 +18,13 @@ run_step() {
   fi
 }
 
-mkdir -p Data_final Data_strategies
+mkdir -p Data_final Data_strategies Data_generation
 
 # Non-base generators at production scale (VERDICT item 4b).
-run_step generation_s python -m experiments.runs generation_s_sweep --fast \
-  --out Data_strategies/run_vs_s_K1_generation
+if [ ! -f Data_generation/run_vs_s_K1_generation_gmm.pkl ]; then
+  run_step generation_s python -m experiments.runs generation_s_sweep --fast \
+    --out Data_generation/run_vs_s_K1_generation
+fi
 
 # Cell 18: strategies x p, soft labels.
 run_step cell18 python -m experiments.runs strategies_p_sweep --fast \
