@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 # Sentinel pushing invalid rows past every real (u, i, j) in the sort.
-_SENT = jnp.int32(2**30)
+# Plain int (not a jnp scalar): creating a device array at import time
+# would initialize the XLA backend, which breaks jax.distributed.initialize
+# for multi-host users importing this package first.
+_SENT = 2**30
 
 
 class TripletSet(NamedTuple):
