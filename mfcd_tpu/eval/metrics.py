@@ -100,9 +100,11 @@ def _rowwise_pearson(xc: jax.Array, uc: jax.Array) -> jax.Array:
     return num / jnp.maximum(den, 1e-30)
 
 
-# Row-block size for the counting ranker: [_RANK_BLOCK, m, m] comparison
-# cubes live at a time (16 x 1000 x 1000 bools = 16MB per vmapped run).
-_RANK_BLOCK = 16
+# Row-block budget for the counting ranker: [block, m, m] comparison cubes
+# live at a time; the block shrinks with m so the cube stays ~16M elements
+# (16 x 1000 x 1000 bools = 16MB per vmapped run at the canonical size, one
+# row per step at m = 10,000).
+_RANK_CUBE_ELEMS = 16 * 1000 * 1000
 
 
 def _ranks(a: jax.Array) -> jax.Array:
@@ -127,7 +129,7 @@ def _ranks(a: jax.Array) -> jax.Array:
         )
         return cnt.astype(a.dtype)
 
-    block = min(_RANK_BLOCK, n_rows)
+    block = min(max(1, _RANK_CUBE_ELEMS // (m * m)), n_rows)
     pad = (-n_rows) % block
     padded = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
     out = jax.lax.map(block_ranks, padded.reshape(-1, block, m))
