@@ -56,10 +56,43 @@ def bench_sweep():
     }))
 
 
+def bench_k10():
+    """--k10: the reference's heavy cell-5 configuration (K=10 hard labels,
+    ~1M padded train rows) on the Pallas path vs the jnp fallback — the
+    round-1 gate excluded exactly this shape."""
+    import numpy as np
+
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.sweep.batched import run_bucket
+
+    cfg = RunConfig(n=1000, m=1000, d=2, p=0.2, s=5.0, lr=1e-3,
+                    weight_decay=5e-6, num_epochs=30, reps=2, K=10)
+    rows = [{"s": 5.0, "lr": 1e-3, "weight_decay": 5e-6}]
+    timings = {}
+    for use_pallas in (True, False):
+        run_bucket(cfg, rows, [0], seed=123, use_pallas=use_pallas)  # compile
+        t0 = time.time()
+        out = run_bucket(cfg, rows, [0], seed=321, use_pallas=use_pallas)
+        timings[use_pallas] = (time.time() - t0) / cfg.reps
+        log(f"use_pallas={use_pallas}: {timings[use_pallas]:.2f}s/run "
+            f"acc={np.round(out[0]['accuracy'], 4)}")
+    runs_per_hour = 3600.0 / timings[True]
+    print(json.dumps({
+        "metric": "k10_full_training_runs_per_hour_per_chip_pallas",
+        "value": round(runs_per_hour, 1),
+        "unit": "runs/hour/chip",
+        "vs_baseline": round(runs_per_hour / 125.0, 3),
+        "pallas_speedup_vs_jnp": round(timings[False] / timings[True], 2),
+    }))
+
+
 def main():
     quick = "--quick" in sys.argv
     if "--sweep" in sys.argv:
         bench_sweep()
+        return
+    if "--k10" in sys.argv:
+        bench_k10()
         return
 
     import jax

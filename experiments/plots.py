@@ -125,16 +125,19 @@ def strategy_figures(pickle_glob, outdir="Results_final", show=False):
         merged.extend(_load(path))
     os.makedirs(outdir, exist_ok=True)
     x_key = "s" if len({e["params"]["s"] for e in merged}) > 1 else "p"
+    # Name figures by the swept axis so the vs-s (cell 26) and vs-p
+    # (cell 28) variants coexist; keep the legacy names for the s-sweep.
+    tag = "" if x_key == "s" else f"_vs_{x_key}"
     plot_metrics_vs_param(
         merged, x_key, ["accuracy"], group_by="strategy",
         log_scale_x=True, sub_plot=True, font_scale=1.5,
-        max_overall=True, save_path=f"{outdir}/strategies_accuracy",
+        max_overall=True, save_path=f"{outdir}/strategies_accuracy{tag}",
         show_plot=show,
     )
     plot_metrics_vs_param(
         merged, x_key, ["reconstruction_error_scaled"], group_by="strategy",
         log_scale_x=True, sub_plot=True, font_scale=1.5,
-        max_overall=True, save_path=f"{outdir}/strategies_rec",
+        max_overall=True, save_path=f"{outdir}/strategies_rec{tag}",
         show_plot=show,
     )
 

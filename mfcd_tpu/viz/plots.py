@@ -95,7 +95,12 @@ _NAME_MAP = {
 def format_display_name(name):
     """Internal name -> human/figure label (reference ``visualization.py:32``)."""
     if name in _NAME_MAP:
-        return _NAME_MAP[name]
+        label = _NAME_MAP[name]
+        # The reference escapes % for its always-on usetex mode; without
+        # LaTeX, mathtext renders the backslash literally.
+        if not matplotlib.rcParams.get("text.usetex", False):
+            label = label.replace(r"\%", "%")
+        return label
     if isinstance(name, str):
         return name.replace("_", " ").title()
     return str(name)

@@ -45,7 +45,13 @@ RESULTS = _fake_results()
 def test_format_display_name_aliases():
     assert viz.format_display_name("proximity") == "Max-Min"
     assert viz.format_display_name("margin") == "Close-Call"
-    assert viz.format_display_name("top_k") == r"Top 10\%"
+    # % is escaped only under usetex (the reference's always-on LaTeX mode).
+    assert viz.format_display_name("top_k") == "Top 10%"
+    try:
+        viz.enable_latex(True)
+        assert viz.format_display_name("top_k") == r"Top 10\%"
+    finally:
+        viz.enable_latex(False)
     assert viz.format_display_name("gt_accuracy") == "GT Accuracy"
     assert viz.format_display_name("some_new_metric") == "Some New Metric"
 
