@@ -67,4 +67,7 @@ fi
 run_step cell5 python -m experiments.runs s_k_sweep --fast \
   --out Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl
 
+# Regenerate every report figure from the pickles now on disk (CPU-only).
+run_step figures bash scripts/make_all_figures.sh
+
 echo "=== ALL STEPS DONE $(date +%H:%M:%S) ===" >> "$LOG"
