@@ -1,0 +1,100 @@
+"""The shipped notebooks must stay in sync with the framework.
+
+`notebooks/Runs.ipynb` / `notebooks/Plots.ipynb` are the user-facing
+equivalents of the reference's notebook drivers (SURVEY §2.11).  These
+tests parse them, syntax-check every code cell (including the
+commented-out sweep bodies, after uncommenting), and check the referenced
+symbols still exist.
+"""
+
+import json
+import os
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(HERE, "notebooks", name)
+    with open(path) as f:
+        return json.load(f)
+
+
+def _sources(nb):
+    return ["".join(c["source"]) for c in nb["cells"]
+            if c["cell_type"] == "code"]
+
+
+def _uncomment(src):
+    """Reverse the comment-out applied to sweep cells — but only when the
+    whole cell is commented out (real comments inside live code cells must
+    stay comments)."""
+    lines = src.splitlines()
+    if not all(line.startswith("#") or not line.strip() for line in lines):
+        return src
+    return "\n".join(
+        line[2:] if line.startswith("# ") else line for line in lines
+    )
+
+
+@pytest.mark.parametrize("name", ["Runs.ipynb", "Plots.ipynb"])
+def test_notebook_is_valid(name):
+    nb = _load(name)
+    assert nb["nbformat"] == 4
+    assert len(nb["cells"]) > 10
+    for i, src in enumerate(_sources(nb)):
+        compile(_uncomment(src), f"{name}[code cell {i}]", "exec")
+
+
+def test_runs_setup_cell_imports():
+    src = _sources(_load("Runs.ipynb"))[0]
+    namespace = {}
+    exec(src, namespace)
+    assert callable(namespace["parameter_scan"])
+    assert callable(namespace["parameter_scan_fast"])
+    assert callable(namespace["parameter_scan_ground_truth"])
+
+
+def test_plots_setup_cell_imports():
+    src = _sources(_load("Plots.ipynb"))[0]
+    namespace = {}
+    exec(src, namespace)
+    for fn in ["plot_metrics_vs_param", "plot_losses", "plot_alpha_vs_s",
+               "plot_sampled_comparison_aligned", "find_closest_index_by_s",
+               "enrich_params_with_data_points", "plot_heatmap_best_fixed",
+               "plot_all_heatmaps", "get_best_params_all_metrics",
+               "print_results"]:
+        assert callable(namespace[fn]), fn
+
+
+def test_runs_grids_match_scripts():
+    """The notebook's sweep literals must match experiments/runs.py (the
+    audited transcription) on a few load-bearing constants."""
+    cells = _sources(_load("Runs.ipynb"))
+    all_src = "\n".join(_uncomment(c) for c in cells)
+    for needle in [
+        "np.logspace(-1, 1, 20)",
+        "[0.1, 0.15, 0.2, 0.25, 0.35, 0.5]",
+        "K=[1, 2, 4, 10, 50]",
+        '"cluster"',
+        "np.logspace(1, 4, 10)",
+        "np.logspace(-4, 0, 30)",
+        "soft_label=True",
+        "weight_decay=[1e-6, 5e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3]",
+    ]:
+        assert needle in all_src, needle
+
+
+def test_notebooks_regenerate_cleanly(tmp_path, monkeypatch):
+    """scripts/build_notebooks.py output matches what is committed."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "build_notebooks", os.path.join(HERE, "scripts",
+                                        "build_notebooks.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name, builder in [("Runs.ipynb", mod.runs_notebook),
+                          ("Plots.ipynb", mod.plots_notebook)]:
+        assert builder() == _load(name), name
