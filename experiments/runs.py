@@ -241,18 +241,32 @@ def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
     return all_results
 
 
-GENERATIONS_SWEPT = ("gmm", "clustered")
+# Every non-"base" dispatch keyword of generate_x (reference
+# structure.py:590-663) — all 10 jittable generator paths are exercised
+# under the real engine at production scale.
+GENERATIONS_SWEPT = (
+    "gmm", "clustered", "low_rank", "structured", "svd", "correlated",
+    "graph", "social", "temporal", "hierarchical",
+)
 
 
 def generation_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
                        reps=3, generations=GENERATIONS_SWEPT):
     """Production-scale validation sweep over non-`base` generation modes
-    (not a notebook cell — proves the jittable KMeans/EM generator paths
-    under the real engine at n=1000; VERDICT r1 item 4)."""
+    (not a notebook cell — proves the jittable KMeans/EM/Watts-Strogatz
+    generator paths under the real engine at n=1000; VERDICT r1 item 4).
+
+    Modes whose pickle already exists are skipped, so the sweep is
+    resumable one mode at a time."""
+    import os
+
     n = m = int(1000 * scale) or 10
     all_results = {}
     for generation in generations:
         path = f"{out}_{generation}.pkl" if out else None
+        if path and os.path.exists(path):
+            print(f"skipping generation={generation}: {path} exists")
+            continue
         all_results[generation] = _scan(
             fast, n=n, m=m, d=2, p=0.2, lr=1e-3, K=1,
             s=list(np.logspace(-1, 1, 10)),

@@ -175,8 +175,11 @@ def test_generation_s_sweep_grid(monkeypatch):
     """Round-2 validation sweep: non-base generators at production scale."""
     calls = _capture(monkeypatch)
     out = runs.generation_s_sweep(scale=0.1)
-    assert set(out) == {"gmm", "clustered"}
-    assert len(calls) == 2
+    # Every non-"base" generate_x dispatch keyword is swept.
+    assert set(out) == {"gmm", "clustered", "low_rank", "structured",
+                        "svd", "correlated", "graph", "social",
+                        "temporal", "hierarchical"}
+    assert len(calls) == 10
     kw = calls[0]
     assert kw["generation"] == "gmm"
     assert len(kw["s"]) == 10 and kw["p"] == 0.2 and kw["reps"] == 3
