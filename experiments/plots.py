@@ -92,26 +92,39 @@ def per_row_diagnostics(pickle_path, outdir="Results_final", show=False,
     )
 
 
-def p_sweep_figures(pickle_path, outdir="Results_final", show=False):
+def p_sweep_figures(pickle_path, outdir="Results_final", show=False,
+                    derived=(), tag=""):
     """Plots.ipynb cells 17-23: accuracy/error vs p (and derived pxK / p*s
-    axes when present), with the GT overlay."""
+    axes when present), with the GT overlay.
+
+    ``derived`` names product axes to patch into the params in-memory
+    before plotting ("pxK", "p*s"), as the reference's plot cells do
+    post-hoc for the constant-product pickles.  ``tag`` suffixes the
+    vs-p figure names so several pickles can share an outdir."""
     results = _load(pickle_path)
     os.makedirs(outdir, exist_ok=True)
     enrich_params_with_data_points(results)
+    for key in derived:
+        assert key in ("pxK", "p*s"), key
+        other = "K" if key == "pxK" else "s"
+        for exp in results:
+            exp["params"][key] = round(
+                exp["params"]["p"] * exp["params"][other], 4)
+    sfx = f"_{tag}" if tag else ""
     kw = dict(log_scale_x=True, sub_plot=True, font_scale=1.5,
               show_plot=show)
     plot_metrics_vs_param(
         results, "p", ["accuracy"], group_by="K",
-        save_path=f"{outdir}/accuracy_vs_p", **kw)
+        save_path=f"{outdir}/accuracy_vs_p{sfx}", **kw)
     plot_metrics_vs_param(
         results, "num_data_points", ["reconstruction_error_scaled"],
-        group_by="K", save_path=f"{outdir}/rec_vs_datapoints",
+        group_by="K", save_path=f"{outdir}/rec_vs_datapoints{sfx}",
         max_overall=True, **kw)
-    for derived in ("pxK", "p*s"):
-        if derived in results[0]["params"]:
+    for key in ("pxK", "p*s"):
+        if key in results[0]["params"]:
             plot_metrics_vs_param(
-                results, derived, ["accuracy"], group_by="s",
-                save_path=f"{outdir}/accuracy_vs_{derived.replace('*', 'x')}",
+                results, key, ["accuracy"], group_by="s",
+                save_path=f"{outdir}/accuracy_vs_{key.replace('*', 'x')}",
                 **kw)
 
 
@@ -232,13 +245,22 @@ def main(argv=None):
     ap.add_argument("--pickle", default=None,
                     help="results pickle (or glob for strategy_figures)")
     ap.add_argument("--outdir", default="Results_final")
+    ap.add_argument("--derived", action="append", default=[],
+                    choices=["pxK", "p*s"],
+                    help="product axis to patch into the params "
+                         "(p_sweep_figures only)")
+    ap.add_argument("--tag", default="",
+                    help="figure-name suffix (p_sweep_figures only)")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args(argv)
     if args.list or not args.figures:
         for name, fn in sorted(ALL.items()):
             print(f"{name:22s} {fn.__doc__.splitlines()[0]}")
         return 0
-    ALL[args.figures](args.pickle, outdir=args.outdir)
+    extra = {}
+    if args.figures == "p_sweep_figures":
+        extra = dict(derived=tuple(args.derived), tag=args.tag)
+    ALL[args.figures](args.pickle, outdir=args.outdir, **extra)
     return 0
 
 

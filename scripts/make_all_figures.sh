@@ -20,8 +20,10 @@ fig heatmaps             Data_final/scan_K1_fixedLR_varS_varP_full_4.pkl
 fig loss_curves          Data_final/scan_K1_fixedLR_varS_varP_full_4.pkl
 fig s_sweep_figures      "Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl"
 fig p_sweep_figures      Data_final/scan_pK_Final.pkl
-fig p_sweep_figures      Data_final/scan_pK_constant_Final_s_wd_sweep.pkl
-fig p_sweep_figures      Data_final/scan_ps_constant_Final.pkl
+fig p_sweep_figures      Data_final/scan_pK_constant_Final_s_wd_sweep.pkl \
+                         --derived pxK --tag pk_const
+fig p_sweep_figures      Data_final/scan_ps_constant_Final.pkl \
+                         --derived 'p*s' --tag ps_const
 fig heatmaps             Data_final/p_d_1.pkl
 fig strategy_figures     "Data_strategies/run_vs_s_K1_*.pkl"
 fig strategy_figures     "Data_strategies/run_vs_p_*.pkl"

@@ -99,6 +99,29 @@ def test_p_sweep_figures_with_derived(tmp_path, outdir):
     plots.p_sweep_figures(pkl, outdir=outdir)
 
 
+def test_p_sweep_figures_derives_and_tags(tmp_path, outdir):
+    """The derived= patching and tag= suffixing used for the
+    constant-product pickles (reference Plots cells 17 / 21)."""
+    import os
+
+    grid = [dict(p=p, s=s) for p, s in ((0.05, 10.0), (0.1, 5.0),
+                                        (0.25, 2.0), (0.5, 1.0))]
+    pkl = _dump(tmp_path, "ps_const.pkl", grid)
+    plots.p_sweep_figures(pkl, outdir=outdir, derived=("p*s",),
+                          tag="ps_const")
+    assert os.path.exists(os.path.join(outdir, "accuracy_vs_p_ps_const.png"))
+    assert os.path.exists(os.path.join(outdir, "accuracy_vs_pxs.png"))
+    # The pickle on disk is untouched (patching is in-memory only).
+    data = pickle.load(open(pkl, "rb"))
+    assert "p*s" not in data[0]["params"]
+    # CLI plumbing.
+    rc = plots.main(["p_sweep_figures", "--pickle", pkl,
+                     "--outdir", outdir, "--derived", "p*s",
+                     "--tag", "cli"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "accuracy_vs_p_cli.png"))
+
+
 def test_strategy_and_generation_figures(tmp_path, outdir):
     for strat in ("random", "proximity"):
         _dump(tmp_path, f"run_vs_s_K1_{strat}.pkl",
