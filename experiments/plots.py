@@ -64,7 +64,7 @@ def s_sweep_figures(pickle_path, outdir="Results_final", show=False):
         fill_between=True, **kw)
     wds = sorted({e["params"]["weight_decay"] for e in results})
     plot_alpha_vs_s(results, s_min=0.0, weight_decays=wds,
-                    save_path=f"{outdir}/alpha_vs_s", show_plot=show)
+                    save_path=f"{outdir}/alpha_vs_s{tag}", show_plot=show)
 
 
 def per_row_diagnostics(pickle_path, outdir="Results_final", show=False,
@@ -215,18 +215,31 @@ def loss_curves(pickle_path, outdir="Results_final", show=False):
 
 def heatmaps(pickle_path, outdir="Results_final", show=False,
              param_x="s", param_y="p", metric="accuracy"):
-    """Heatmap grids (Plots.ipynb heatmap cells)."""
+    """Heatmap grids (Plots.ipynb heatmap cells).
+
+    ``param_x`` / ``param_y`` must both vary in the pickle (so the p x d
+    grid is called with ``--param-x p --param-y d``, not the s x p
+    defaults); the optimal-weight-decay panel only renders when more than
+    one weight decay was swept."""
     results = _load(pickle_path)
     os.makedirs(outdir, exist_ok=True)
+    for axis in (param_x, param_y):
+        values = {e["params"][axis] for e in results}
+        if len(values) < 2:
+            raise ValueError(
+                f"heatmap axis {axis!r} has a single value {values} in "
+                f"{pickle_path}; pass --param-x/--param-y for the swept "
+                "parameters")
     plot_all_heatmaps(
         results, param_x, param_y, metric,
         save_path=f"{outdir}/heatmap_{metric}_{param_x}_{param_y}",
         max_=True, show_plot=show,
     )
-    plot_optimal_param_vs_x(
-        results, param_x, "weight_decay", metric,
-        save_path=f"{outdir}/optimal_wd_vs_{param_x}", show_plot=show,
-    )
+    if len({e["params"]["weight_decay"] for e in results}) > 1:
+        plot_optimal_param_vs_x(
+            results, param_x, "weight_decay", metric,
+            save_path=f"{outdir}/optimal_wd_vs_{param_x}", show_plot=show,
+        )
 
 
 ALL = {
@@ -251,6 +264,10 @@ def main(argv=None):
                          "(p_sweep_figures only)")
     ap.add_argument("--tag", default="",
                     help="figure-name suffix (p_sweep_figures only)")
+    ap.add_argument("--param-x", default="s",
+                    help="heatmap x axis (heatmaps only)")
+    ap.add_argument("--param-y", default="p",
+                    help="heatmap y axis (heatmaps only)")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args(argv)
     if args.list or not args.figures:
@@ -260,6 +277,8 @@ def main(argv=None):
     extra = {}
     if args.figures == "p_sweep_figures":
         extra = dict(derived=tuple(args.derived), tag=args.tag)
+    elif args.figures == "heatmaps":
+        extra = dict(param_x=args.param_x, param_y=args.param_y)
     ALL[args.figures](args.pickle, outdir=args.outdir, **extra)
     return 0
 

@@ -131,14 +131,50 @@ def p_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
     )
 
 
+# Cell 11's (p, s) pair set, precomputed once with the reference's own
+# float32 torch.arange semantics (see ps_const_pairs_derived, which
+# re-derives it; a test asserts the two stay identical).  Baked as
+# literals so the production sweep path has no torch dependency.
+_PS_CONST_PAIRS = (
+    (0.25, 2.0), (0.2, 2.5), (0.125, 4.0), (0.1, 5.0), (0.08, 6.25),
+    (0.078, 6.41), (0.058, 8.62), (0.054, 9.26), (0.05, 10.0),
+    (0.28, 1.25), (0.25, 1.4), (0.2, 1.75), (0.175, 2.0), (0.14, 2.5),
+    (0.125, 2.8), (0.1, 3.5), (0.086, 4.07), (0.074, 4.73), (0.07, 5.0),
+    (0.057, 6.14), (0.056, 6.25), (0.05, 7.0), (0.043, 8.14),
+    (0.04, 8.75), (0.038, 9.21), (0.037, 9.46), (0.035, 10.0),
+    (0.25, 1.0), (0.2, 1.25), (0.125, 2.0), (0.1, 2.5), (0.058, 4.31),
+    (0.054, 4.63), (0.05, 5.0), (0.04, 6.25), (0.039, 6.41),
+    (0.029, 8.62), (0.028, 8.93), (0.027, 9.26), (0.025, 10.0),
+    (0.25, 0.8), (0.2, 1.0), (0.16, 1.25), (0.125, 1.6), (0.1, 2.0),
+    (0.08, 2.5), (0.059, 3.39), (0.05, 4.0), (0.04, 5.0), (0.033, 6.06),
+    (0.032, 6.25), (0.025, 8.0), (0.022, 9.09), (0.02, 10.0),
+    (0.3, 0.4), (0.25, 0.48), (0.24, 0.5), (0.2, 0.6), (0.16, 0.75),
+    (0.15, 0.8), (0.125, 0.96), (0.12, 1.0), (0.1, 1.2), (0.096, 1.25),
+    (0.08, 1.5), (0.075, 1.6), (0.06, 2.0), (0.05, 2.4), (0.048, 2.5),
+    (0.04, 3.0), (0.032, 3.75), (0.03, 4.0), (0.025, 4.8), (0.024, 5.0),
+    (0.02, 6.0), (0.017, 7.06), (0.016, 7.5), (0.015, 8.0),
+    (0.014, 8.57), (0.013, 9.23), (0.012, 10.0), (0.3, 0.5),
+    (0.25, 0.6), (0.2, 0.75), (0.15, 1.0), (0.125, 1.2), (0.12, 1.25),
+    (0.1, 1.5), (0.075, 2.0), (0.06, 2.5), (0.053, 2.83), (0.05, 3.0),
+    (0.04, 3.75), (0.03, 5.0), (0.026, 5.77), (0.025, 6.0),
+    (0.024, 6.25), (0.02, 7.5), (0.015, 10.0),
+)
+
+
 def ps_const_pairs():
-    """Cell 11's arange-based (p, s) pair enumeration, verbatim.
+    """Cell 11's arange-based (p, s) pair enumeration (99 pairs)."""
+    p_values = [p for p, _ in _PS_CONST_PAIRS]
+    s_values = [s for _, s in _PS_CONST_PAIRS]
+    return p_values, s_values
+
+
+def ps_const_pairs_derived():
+    """Re-derive the cell-11 pairs with the reference's exact mechanism.
 
     The reference builds candidate grids with ``torch.arange`` (float32
     accumulation) and keeps pairs whose rounded p lands exactly in the
     rounded p-grid; reproducing the float32 semantics keeps the pair set
-    identical.
-    """
+    identical.  Requires torch (test dependency only)."""
     import torch
 
     possible_s = [round(s, 3) for s in torch.arange(0.02, 10.1, 0.01).tolist()]
@@ -256,17 +292,14 @@ def generation_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
     (not a notebook cell — proves the jittable KMeans/EM/Watts-Strogatz
     generator paths under the real engine at n=1000; VERDICT r1 item 4).
 
-    Modes whose pickle already exists are skipped, so the sweep is
-    resumable one mode at a time."""
-    import os
-
+    Runs with ``resume=True``: modes whose pickle already holds a
+    configuration skip it, so interrupted or extended sweeps continue
+    where they left off (partial pickles are completed, not trusted
+    blindly)."""
     n = m = int(1000 * scale) or 10
     all_results = {}
     for generation in generations:
         path = f"{out}_{generation}.pkl" if out else None
-        if path and os.path.exists(path):
-            print(f"skipping generation={generation}: {path} exists")
-            continue
         all_results[generation] = _scan(
             fast, n=n, m=m, d=2, p=0.2, lr=1e-3, K=1,
             s=list(np.logspace(-1, 1, 10)),
@@ -274,6 +307,7 @@ def generation_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
             generation=generation, num_epochs=30, reps=reps,
             linear=False, soft_label=False,
             save_path=path, save_every=save_every,
+            resume=path is not None,
         )
     return all_results
 

@@ -17,6 +17,7 @@ are independent, so no collectives are emitted and scaling is linear
 
 from __future__ import annotations
 
+import sys
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -113,7 +114,7 @@ def run_bucket(
             import time as _time
 
             print(f"⚠️ transient device error (attempt {attempt + 1}/3), "
-                  f"retrying: {msg[:120]}")
+                  f"retrying: {msg[:120]}", file=sys.stderr)
             _time.sleep(15 * (attempt + 1))
     else:  # pragma: no cover
         raise last_err
@@ -124,9 +125,12 @@ def run_bucket(
         counts = per_cfg.pop("sample_count")
         for c in counts:
             if int(c) < cfg.num_triplets:
+                # Diagnostics go to stderr: bench.py and other
+                # stdout-JSON consumers drive this path.
                 print(
                     f"⚠️ Only {int(c)} triplets generated for strategy: "
-                    f"{cfg.strategy} (target={cfg.num_triplets})"
+                    f"{cfg.strategy} (target={cfg.num_triplets})",
+                    file=sys.stderr,
                 )
         results.append(export_results(per_cfg))
     return results
@@ -144,6 +148,7 @@ def default_max_bucket(cfg: RunConfig) -> int:
     budget stays under the observed OOM thresholds (K=1: ~320 runs
     crashed, 120 fine; margin at 108 runs RESOURCE_EXHAUSTED).
     """
+    from mfcd_tpu.eval.metrics import _RANK_CUBE_ELEMS
     from mfcd_tpu.sampling.dedup import _next_pow2
     from mfcd_tpu.sampling.strategies import plan_overdraw
 
@@ -153,8 +158,12 @@ def default_max_bucket(cfg: RunConfig) -> int:
         cfg.strategy, cfg.num_triplets, cfg.n, cfg.m,
         popularity_method=cfg.popularity_method, alpha=cfg.alpha,
     )
+    # The metrics stage's counting ranker streams [block, m, m] boolean
+    # comparison cubes per vmapped run (mfcd_tpu/eval/metrics.py::_ranks);
+    # ~2 cubes are live across the comparison + reduction.
+    rank_cube_bytes = 2 * min(_RANK_CUBE_ELEMS, cfg.n * cfg.m * cfg.m)
     per_run_bytes = (cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
-                     + m_draw * 48)
+                     + m_draw * 48 + rank_cube_bytes)
     budget_runs = max(4, int(2e9 / per_run_bytes))
     return max(1, budget_runs // max(cfg.reps, 1))
 
@@ -222,7 +231,7 @@ def parameter_scan_fast(
                     raise
                 mid = len(chunk) // 2
                 print(f"⚠️ device OOM on a {len(chunk)}-config chunk; "
-                      f"bisecting")
+                      f"bisecting", file=sys.stderr)
                 return _run_chunk(chunk[:mid]) + _run_chunk(chunk[mid:])
 
         for lo in range(0, len(indices), bucket_cap):

@@ -161,7 +161,7 @@ p_values = np.concatenate([
 ])
 results = parameter_scan(
     n=1000, m=1000, d=2,
-    p=[round(float(p), 5) for p in p_values],
+    p=list(p_values),
     K=[1, 2, 3, 5, 10],
     s=5.0, lr=0.001, weight_decay=1e-5,
     num_epochs=30, reps=5, soft_label=True,
@@ -183,7 +183,7 @@ for c in constants:
             p_list.append(p)
 results = parameter_scan(
     n=1000, m=1000, d=2, p=p_list, s=s_list, K=1,
-    lr=[1e-3] * 1, weight_decay=1e-5, linear=True,
+    lr=[1e-3] * len(p_list), weight_decay=1e-5, linear=True,
     num_epochs=30, reps=5, soft_label=True,
     save_path="Data_final/scan_ps_constant_Final.pkl", save_every=4,
 )

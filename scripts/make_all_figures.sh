@@ -24,7 +24,7 @@ fig p_sweep_figures      Data_final/scan_pK_constant_Final_s_wd_sweep.pkl \
                          --derived pxK --tag pk_const
 fig p_sweep_figures      Data_final/scan_ps_constant_Final.pkl \
                          --derived 'p*s' --tag ps_const
-fig heatmaps             Data_final/p_d_1.pkl
+fig heatmaps             Data_final/p_d_1.pkl --param-x p --param-y d
 fig strategy_figures     "Data_strategies/run_vs_s_K1_*.pkl"
 fig strategy_figures     "Data_strategies/run_vs_p_*.pkl"
 fig generation_figures   "Data_generation/run_vs_s_K1_generation_*.pkl"

@@ -108,6 +108,12 @@ def test_ps_const_pairs_enumeration():
         assert min(abs(p * s - c) for c in targets) < 1e-3
 
 
+def test_ps_const_pairs_match_torch_derivation():
+    """The baked literal pairs equal the reference's float32 torch.arange
+    enumeration exactly (runs.py has no torch dependency in production)."""
+    assert runs.ps_const_pairs() == runs.ps_const_pairs_derived()
+
+
 def test_ps_const_sweep_grid(monkeypatch):
     """Runs.ipynb cell 11 literals."""
     calls = _capture(monkeypatch)

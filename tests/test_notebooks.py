@@ -86,6 +86,50 @@ def test_runs_grids_match_scripts():
         assert needle in all_src, needle
 
 
+def test_runs_sweep_cells_expand(tmp_path, monkeypatch):
+    """Every (commented-out) Runs.ipynb sweep cell must actually expand
+    through the engine's SweepSpec when uncommented — catches grids that
+    compile but crash at launch (e.g. unsynchronized linear lists)."""
+    from mfcd_tpu.core.config import SweepSpec
+
+    non_grid = {"save_path", "save_every", "device", "seed", "batch_size",
+                "open_browser", "resume", "linear"}
+    expansions = []
+
+    def fake_scan(**kw):
+        params = {k: v for k, v in kw.items() if k not in non_grid}
+        spec = SweepSpec(params=params, linear=kw.get("linear", False))
+        if kw.get("linear", False):
+            assert spec.linear_possible(), sorted(params)
+        rows = spec.expand()
+        assert rows
+        expansions.append(len(rows))
+        if kw.get("save_path"):
+            import pickle
+
+            with open(kw["save_path"], "wb") as f:
+                pickle.dump([], f)
+        return []
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("Data_final")
+    os.makedirs("Data_strategies")
+    ns = {"parameter_scan": fake_scan,
+          "parameter_scan_fast": fake_scan,
+          "parameter_scan_ground_truth": fake_scan}
+    exec("import numpy as np", ns)
+    for i, src in enumerate(_sources(_load("Runs.ipynb"))[1:], 1):
+        live = _uncomment(src)
+        assert live != src, f"sweep cell {i} is not commented out"
+        exec(live, dict(ns))
+    assert len(expansions) >= 10
+    # Spot-check a few grid sizes against the notebook's own arithmetic.
+    assert 396 in expansions          # cell 3: 33 s x 6 p x 2 wd
+    assert 1155 in expansions         # cell 5: 33 s x 5 K x 7 wd
+    assert 99 in expansions           # cell 11: linear (p, s) pairs
+    assert 60 in expansions           # cell 21: 30 p x 2 K
+
+
 def test_notebooks_regenerate_cleanly(tmp_path, monkeypatch):
     """scripts/build_notebooks.py output matches what is committed."""
     import importlib.util
