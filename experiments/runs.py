@@ -32,7 +32,8 @@ def _scan(fast, **kw):
     return parameter_scan(**kw)
 
 
-def s_p_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+def s_p_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
+              resume=False):
     """Runs.ipynb cell 3: s x p (x weight_decay) at K=1, soft labels."""
     n = m = int(1000 * scale) or 10
     s_values = np.concatenate([
@@ -48,11 +49,12 @@ def s_p_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
         s=list(s_values),
         weight_decay=[5e-6, 5e-3],
         num_epochs=30, reps=reps, linear=False, soft_label=True,
-        save_path=out, save_every=save_every,
+        save_path=out, save_every=save_every, resume=resume,
     )
 
 
-def s_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+def s_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
+              resume=False):
     """Runs.ipynb cell 5: s x K (x weight_decay) at p=0.2, soft labels."""
     n = m = int(1000 * scale) or 10
     s_values = np.concatenate([
@@ -67,11 +69,12 @@ def s_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
         K=[1, 2, 4, 10, 50],
         weight_decay=[1e-6, 5e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3],
         num_epochs=30, reps=reps, linear=False, soft_label=True,
-        save_path=out, save_every=save_every,
+        save_path=out, save_every=save_every, resume=resume,
     )
 
 
-def pk_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+def pk_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
+                   resume=False):
     """Runs.ipynb cell 7: p*K held constant (linear scan), soft labels.
 
     The derived ``pxK`` parameter is patched into the saved params post-hoc,
@@ -93,11 +96,24 @@ def pk_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
         s_values.extend([s[i]] * len(p_values))
     p_values = p_values * len(s)
     K_values = K_values * len(s)
+    if resume and out:
+        # The post-hoc pxK enrichment below would stop completed params
+        # from matching the grid's; strip it so resume recognizes them.
+        import os
+        import pickle
+
+        if os.path.exists(out):
+            with open(out, "rb") as f:
+                prior = pickle.load(f)
+            for exp in prior:
+                exp["params"].pop("pxK", None)
+            with open(out, "wb") as f:
+                pickle.dump(prior, f)
     results = _scan(
         fast, n=n, m=m, d=2, p=p_values, K=K_values, s=s_values,
         lr=0.001, weight_decay=1e-5, linear=True,
         num_epochs=30, reps=reps, soft_label=True,
-        save_path=out, save_every=save_every,
+        save_path=out, save_every=save_every, resume=resume,
     )
     if out:
         # The engine returns [] once everything is flushed to disk
@@ -116,7 +132,8 @@ def pk_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
     return results
 
 
-def p_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+def p_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
+              resume=False):
     """Runs.ipynb cell 9: p x K at s=5, soft labels."""
     n = m = int(1000 * scale) or 10
     p_values = np.concatenate([
@@ -127,7 +144,7 @@ def p_k_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
         fast, n=n, m=m, d=2, p=list(p_values), K=[1, 2, 3, 5, 10], s=5.0,
         lr=0.001, weight_decay=1e-5,
         num_epochs=30, reps=reps, linear=False, soft_label=True,
-        save_path=out, save_every=save_every,
+        save_path=out, save_every=save_every, resume=resume,
     )
 
 
@@ -190,7 +207,8 @@ def ps_const_pairs_derived():
     return p_values, s_values
 
 
-def ps_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+def ps_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
+                   resume=False):
     """Runs.ipynb cell 11: p*s held constant (linear scan), soft labels."""
     n = m = int(1000 * scale) or 10
     lr = [1e-3]
@@ -204,11 +222,12 @@ def ps_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
         fast, n=n, m=m, d=2, p=p_values, s=s_values, lr=lr_values,
         K=1, weight_decay=1e-5, linear=True,
         num_epochs=30, reps=reps, soft_label=True,
-        save_path=out, save_every=save_every,
+        save_path=out, save_every=save_every, resume=resume,
     )
 
 
-def p_d_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
+def p_d_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
+              resume=False):
     """Runs.ipynb cell 13: p x d at s=5."""
     n = m = int(1000 * scale) or 10
     return _scan(
@@ -217,7 +236,7 @@ def p_d_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5):
         d=list(range(2, 11, 2)),
         lr=1e-3, weight_decay=1e-5,
         num_epochs=30, reps=reps,
-        save_path=out, save_every=save_every,
+        save_path=out, save_every=save_every, resume=resume,
     )
 
 
@@ -232,7 +251,8 @@ STRATEGIES_P_SWEPT = (
 
 
 def strategies_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
-                       reps=3, strategies=STRATEGIES_S_SWEPT):
+                       reps=3, strategies=STRATEGIES_S_SWEPT,
+                       resume=False):
     """Runs.ipynb cell 16: 7 strategies x s (x wd), hard labels.
 
     The notebook writes one pickle per strategy
@@ -254,13 +274,14 @@ def strategies_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
             weight_decay=[1e-6, 1e-5, 1e-4],
             strategy=strategy, num_epochs=30, reps=reps,
             linear=False, soft_label=False,
-            save_path=path, save_every=save_every,
+            save_path=path, save_every=save_every, resume=resume,
         )
     return all_results
 
 
 def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
-                       reps=3, strategies=STRATEGIES_P_SWEPT):
+                       reps=3, strategies=STRATEGIES_P_SWEPT,
+                       resume=False):
     """Runs.ipynb cell 18: 7 strategies x p at s=5, soft labels."""
     n = m = int(1000 * scale) or 10
     p_list = np.round(np.logspace(-2, np.log10(0.2), 20), 4).tolist()
@@ -272,7 +293,7 @@ def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
             lr=1e-3, weight_decay=1e-5,
             strategy=strategy, num_epochs=30, reps=reps,
             linear=False, soft_label=True,
-            save_path=path, save_every=save_every,
+            save_path=path, save_every=save_every, resume=resume,
         )
     return all_results
 
@@ -362,6 +383,9 @@ def main(argv=None):
                     help="matrix-size scale factor (1.0 = n=m=1000)")
     ap.add_argument("--reps", type=int, default=None,
                     help="override the notebook's rep count")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing pickles and skip completed "
+                         "configurations (preemption/failure recovery)")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args(argv)
     if args.list or not args.sweep:
@@ -371,6 +395,11 @@ def main(argv=None):
     kw = dict(out=args.out, fast=args.fast, scale=args.scale)
     if args.reps is not None:
         kw["reps"] = args.reps
+    if args.resume:
+        import inspect
+
+        if "resume" in inspect.signature(ALL[args.sweep]).parameters:
+            kw["resume"] = True
     ALL[args.sweep](**kw)
     return 0
 

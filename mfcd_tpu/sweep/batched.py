@@ -108,7 +108,13 @@ def run_bucket(
             transient = any(tok in msg for tok in
                             ("remote_compile", "UNAVAILABLE",
                              "DEADLINE_EXCEEDED",
-                             "worker process crashed"))
+                             "worker process crashed",
+                             # Axon-tunnel worker restarts surface as bare
+                             # FAILED_PRECONDITION "TPU backend error" at
+                             # the host transfer (observed killing a sweep
+                             # at config 64/252); retryable — a genuine
+                             # precondition bug just fails 3x and raises.
+                             "FAILED_PRECONDITION", "FailedPrecondition"))
             if not transient or attempt == 2:
                 raise
             import time as _time

@@ -24,6 +24,12 @@ run_step() {
   fi
 }
 
+# Cell 7 died mid-sweep on a transient tunnel error (64/252 configs on
+# disk); --resume completes the remainder and re-applies the pxK
+# enrichment.
+run_step cell7_resume python -m experiments.runs pk_const_sweep --fast \
+  --resume --out Data_final/scan_pK_constant_Final_s_wd_sweep.pkl
+
 run_step generation_all python -m experiments.runs generation_s_sweep --fast \
   --out Data_generation/run_vs_s_K1_generation
 

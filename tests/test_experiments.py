@@ -108,6 +108,32 @@ def test_ps_const_pairs_enumeration():
         assert min(abs(p * s - c) for c in targets) < 1e-3
 
 
+def test_pk_const_sweep_resume_strips_enrichment(monkeypatch, tmp_path):
+    """Resuming cell 7 over an already-enriched pickle must strip the
+    post-hoc pxK key first so completed configs match the grid (else the
+    whole sweep re-runs and the pickle doubles)."""
+    import pickle
+
+    out = str(tmp_path / "pkc.pkl")
+    seen = {}
+
+    def fake_scan(fast, **kw):
+        with open(out, "rb") as f:
+            seen["params_at_scan"] = pickle.load(f)
+        return []
+
+    monkeypatch.setattr(runs, "_scan", fake_scan)
+    enriched = [{"params": {"p": 0.1, "K": 1, "pxK": 0.1},
+                 "results": {"accuracy": [0.5]}}]
+    with open(out, "wb") as f:
+        pickle.dump(enriched, f)
+    runs.pk_const_sweep(out=out, fast=True, resume=True)
+    assert "pxK" not in seen["params_at_scan"][0]["params"]
+    # ... and the final pickle is re-enriched.
+    final = pickle.load(open(out, "rb"))
+    assert final[0]["params"]["pxK"] == 0.1
+
+
 def test_ps_const_pairs_match_torch_derivation():
     """The baked literal pairs equal the reference's float32 torch.arange
     enumeration exactly (runs.py has no torch dependency in production)."""
