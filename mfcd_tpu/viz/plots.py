@@ -167,11 +167,18 @@ def get_best_params(results, result_metric):
 
 
 def get_best_params_all_metrics(results):
-    """Best config per metric (reference ``visualization.py:851-871``)."""
-    return {
-        metric: get_best_params(results, metric)
-        for metric in results[0]["results"].keys()
-    }
+    """Best config per metric (reference ``visualization.py:851-871``).
+
+    Deeply-nested diagnostic entries (``sampled_*_rows`` and the per-row
+    matrices) have no scalar "best"; the reference silently ranks them by
+    Python list comparison — here they are skipped instead."""
+    out = {}
+    for metric in results[0]["results"].keys():
+        try:
+            out[metric] = get_best_params(results, metric)
+        except TypeError:
+            pass
+    return out
 
 
 def print_results(results, indices=None, params_off=False, metric=None):

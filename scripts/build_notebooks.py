@@ -413,8 +413,8 @@ plot_metrics_vs_param(pk, "pxK", ["accuracy"], group_by="s",
 PLOTS_HEATMAP = """\
 results = load("Data_final/p_d_1.pkl")
 plot_heatmap_best_fixed(results, "p", "d", "accuracy")
-plot_all_heatmaps(results, "p", "d",
-                  ["accuracy", "reconstruction_error_scaled"])
+plot_all_heatmaps(results, "p", "d", "accuracy")
+plot_all_heatmaps(results, "p", "d", "reconstruction_error_scaled")
 get_best_params_all_metrics(results)
 """
 

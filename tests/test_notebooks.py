@@ -130,6 +130,45 @@ def test_runs_sweep_cells_expand(tmp_path, monkeypatch):
     assert 60 in expansions           # cell 21: 30 p x 2 K
 
 
+def test_plots_cells_execute(tmp_path, monkeypatch):
+    """Every Plots.ipynb cell runs end-to-end against schema-compatible
+    synthetic pickles laid out at the paths the notebook loads."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from test_plots_cells import _dump
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("Data_final")
+    os.makedirs("Data_strategies")
+    _dump(tmp_path / "Data_final", "scan_K1_fixedLR_varS_varP_full_4.pkl",
+          [dict(s=s, p=p, weight_decay=wd)
+           for s in (0.1, 5.0, 100.0) for p in (0.2, 0.4)
+           for wd in (5e-6, 5e-3)])
+    _dump(tmp_path / "Data_final", "scan_pK_Final.pkl",
+          [dict(p=p, K=k) for p in (0.05, 0.2) for k in (1, 5)])
+    _dump(tmp_path / "Data_final", "scan_pK_constant_Final_s_wd_sweep.pkl",
+          [dict(p=p, K=k, s=s) for p, k in ((0.1, 1), (0.05, 2))
+           for s in (1.0, 5.0)])
+    _dump(tmp_path / "Data_final", "p_d_1.pkl",
+          [dict(p=p, d=d) for p in (0.1, 0.5) for d in (2, 4)])
+    _dump(tmp_path / "Data_final", "gt_scan_s5_Ksweep_pSweep_n1000.pkl",
+          [dict(p=p, K=k) for p in (0.01, 0.1) for k in (1, 10)])
+    _dump(tmp_path / "Data_final", "scan_d_s_gt.pkl",
+          [dict(d=d, s=s) for d in (1, 2) for s in (1.0, 3.0)])
+    for strat in ("random", "proximity"):
+        _dump(tmp_path / "Data_strategies", f"run_vs_s_K1_{strat}.pkl",
+              [dict(s=s, strategy=strat) for s in (0.5, 5.0)])
+
+    cells = _sources(_load("Plots.ipynb"))
+    ns = {}
+    exec(cells[0], ns)
+    import matplotlib.pyplot as plt
+
+    for i, src in enumerate(cells[1:], 1):
+        exec(src, dict(ns))
+        plt.close("all")
+
+
 def test_notebooks_regenerate_cleanly(tmp_path, monkeypatch):
     """scripts/build_notebooks.py output matches what is committed."""
     import importlib.util
