@@ -30,6 +30,12 @@ run_step() {
 run_step cell7_resume python -m experiments.runs pk_const_sweep --fast \
   --resume --out Data_final/scan_pK_constant_Final_s_wd_sweep.pkl
 
+# Cell 5 is the multi-hour heavyweight; a resume pass is a no-op when the
+# main pipeline finished it and completes the remainder if it was cut
+# short by a transient failure.
+run_step cell5_resume python -m experiments.runs s_k_sweep --fast \
+  --resume --out "Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl"
+
 run_step generation_all python -m experiments.runs generation_s_sweep --fast \
   --out Data_generation/run_vs_s_K1_generation
 
