@@ -147,6 +147,16 @@ def top_k_value(m: int) -> int:
     return min(m, max(5, int(0.1 * m)))
 
 
+def estimate_k(num_triplets: int) -> int:
+    """Smallest k whose top-k set yields >= num_triplets ordered-distinct
+    pairs, k(k-1)/2 >= T (reference ``generation_data.py:186-187``; only
+    referenced from a commented-out alternative there — kept for API
+    completeness)."""
+    import math
+
+    return math.ceil((1 + math.sqrt(1 + 8 * num_triplets)) / 2)
+
+
 def propose_top_k(key, x, m_draw, k: int | None = None):
     n, m = x.shape
     kk = k if k is not None else top_k_value(m)

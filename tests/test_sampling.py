@@ -253,3 +253,14 @@ def test_user_similarity_chunking_same_constraints():
     tk = max(3, min(80 // 10, 10 + 100 // (5 * 60)))
     top = np.asarray(jax.lax.top_k(x, tk)[1])
     assert all(ii in top[uu] for uu, ii in zip(u, i))
+
+
+def test_estimate_k():
+    """k(k-1)/2 >= T at the returned k and not at k-1
+    (reference ``generation_data.py:186-187``)."""
+    from mfcd_tpu.sampling.strategies import estimate_k
+
+    for t in (1, 2, 3, 10, 45, 46, 1000, 123456):
+        k = estimate_k(t)
+        assert k * (k - 1) / 2 >= t
+        assert (k - 1) * (k - 2) / 2 < t
