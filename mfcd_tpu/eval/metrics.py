@@ -35,7 +35,11 @@ from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams, forward_logits
 from mfcd_tpu.ops.linalg import top_singular_values
 from mfcd_tpu.ops.losses import bce_with_logits
-from mfcd_tpu.train.trainer import _pad_to_batches, batch_losses
+from mfcd_tpu.train.trainer import (
+    _pad_to_batches,
+    batch_losses,
+    map_batch_blocks,
+)
 
 _EPS = 1e-8
 
@@ -45,14 +49,25 @@ def evaluate_split(
 ) -> Tuple[jax.Array, jax.Array]:
     """Test BCE (mean of per-batch means, via the trainer's batch_losses so
     the convention lives in one place) + accuracy at threshold 0.5
-    (reference ``structure.py:881-921``)."""
+    (reference ``structure.py:881-921``).  Row gathers stream in batch
+    blocks (``map_batch_blocks``) — a K-multiplied test split never
+    materializes its lane-padded [rows, d] gather at once."""
     _, loss = batch_losses(params, split, batch_size)
 
     u, i, j, z, valid = _pad_to_batches(split, batch_size)
-    logits = forward_logits(params, u, i, j)
-    pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
-    correct = jnp.sum(jnp.where(valid, (pred == z).astype(jnp.float32), 0.0))
-    total = jnp.sum(valid)
+
+    def block_stats(args):
+        bu, bi, bj, bz, bv = args
+        logits = forward_logits(params, bu, bi, bj)
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        return (jnp.sum(jnp.where(bv, (pred == bz).astype(jnp.float32), 0.0),
+                        axis=1),
+                jnp.sum(bv, axis=1))
+
+    correct_b, cnt_b = map_batch_blocks(
+        block_stats, (u, i, j, z, valid), u.shape[0])
+    correct = jnp.sum(correct_b)
+    total = jnp.sum(cnt_b)
     acc = jnp.where(total > 0, correct / jnp.maximum(total, 1), 0.0)
     return loss, acc
 

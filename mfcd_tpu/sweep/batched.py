@@ -35,6 +35,14 @@ from mfcd_tpu.sweep.engine import (
 from mfcd_tpu.utils.io import append_results, reset_save_path
 
 
+def _is_oom(msg: str) -> bool:
+    """Device or compile-time out-of-memory — deterministic for a given
+    chunk size, so the right response is bisection, not retry.  Compile
+    OOMs arrive as INTERNAL ("XLA:TPU compile permanent error. Ran out of
+    memory..."), runtime ones as RESOURCE_EXHAUSTED."""
+    return "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+
+
 def make_sweep_mesh(n_devices: Optional[int] = None) -> Mesh:
     """A 1-D mesh over all (or n) devices for experiment-level DP."""
     devices = jax.devices()
@@ -100,9 +108,18 @@ def run_bucket(
             # device failures surface at the host transfer.
             host = {k: np.asarray(v) for k, v in out.items()}
             break
-        except jax.errors.JaxRuntimeError as e:
+        except (jax.errors.JaxRuntimeError, ValueError) as e:
+            # ValueError included: backend failures during tracing (e.g. a
+            # FAILED_PRECONDITION surfacing from a traced arange while the
+            # tunnel restarts) arrive as plain ValueError, not
+            # JaxRuntimeError (observed killing a resume pass).
             last_err = e
             msg = str(e)
+            if _is_oom(msg):
+                # Deterministic compile/runtime OOM: retrying the same
+                # shape is useless (and via remote_compile each retry is
+                # minutes) — let the chunk bisector handle it.
+                raise
             # NB: XLA wraps deterministic failures in INTERNAL too — only
             # retry statuses that are reliably infrastructure-side.
             transient = any(tok in msg for tok in
@@ -121,7 +138,7 @@ def run_bucket(
 
             print(f"⚠️ transient device error (attempt {attempt + 1}/3), "
                   f"retrying: {msg[:120]}", file=sys.stderr)
-            _time.sleep(15 * (attempt + 1))
+            _time.sleep(30 * (attempt + 1))
     else:  # pragma: no cover
         raise last_err
 
@@ -168,8 +185,15 @@ def default_max_bucket(cfg: RunConfig) -> int:
     # comparison cubes per vmapped run (mfcd_tpu/eval/metrics.py::_ranks);
     # ~2 cubes are live across the comparison + reduction.
     rank_cube_bytes = 2 * min(_RANK_CUBE_ELEMS, cfg.n * cfg.m * cfg.m)
+    # Val/test splits carry hard labels even under soft_label (reference
+    # structure.py:733-735), so their row storage scales with K; their
+    # gathers stream in bounded blocks (trainer.map_batch_blocks), so only
+    # the ~17B/row (u,i,j int32 + label f32 + valid) storage counts here,
+    # plus one live lane-padded [block*bs, 128] gather triple.
+    eval_rows = _next_pow2(max(sh.val_rows + sh.test_rows, 1))
+    eval_bytes = eval_rows * 17 + 64 * cfg.batch_size * 128 * 4 * 3
     per_run_bytes = (cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
-                     + m_draw * 48 + rank_cube_bytes)
+                     + m_draw * 48 + rank_cube_bytes + eval_bytes)
     budget_runs = max(4, int(2e9 / per_run_bytes))
     return max(1, budget_runs // max(cfg.reps, 1))
 
@@ -232,8 +256,8 @@ def parameter_scan_fast(
             ]
             try:
                 return run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh)
-            except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" not in str(e) or len(chunk) <= 1:
+            except (jax.errors.JaxRuntimeError, ValueError) as e:
+                if not _is_oom(str(e)) or len(chunk) <= 1:
                     raise
                 mid = len(chunk) // 2
                 print(f"⚠️ device OOM on a {len(chunk)}-config chunk; "

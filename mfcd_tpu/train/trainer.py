@@ -52,17 +52,58 @@ def _pad_to_batches(split: LabeledSplit, batch_size: int):
     return u, i, j, z, valid
 
 
+# Batches per lax.map block in the streamed loss/eval passes.  A [rows, d]
+# gather at tiny d is lane-padded d -> 128 by the TPU tiled layout (64x at
+# d=2), so materializing a whole K-multiplied val/test split at once costs
+# rows*512B per live gather — 8.75GB per K=50 run (observed compile OOM).
+# Streaming 64-batch blocks bounds the live gather to ~6MB per run while
+# keeping 4096 rows of parallelism per step.
+_LOSS_BLOCK_BATCHES = 64
+
+
+def map_batch_blocks(block_fn, arrays, num_batches: int,
+                     block: int = _LOSS_BLOCK_BATCHES):
+    """``lax.map`` over fixed-size blocks of the leading batch axis.
+
+    ``arrays`` are [B, ...]; each is zero-padded to a multiple of ``block``
+    and ``block_fn`` maps a tuple of [block, ...] slices to per-batch
+    outputs [block, ...]; results are restitched to [B, ...].  Single-block
+    inputs take the direct path (identical graph to the unstreamed code).
+    """
+    if num_batches <= block:
+        return block_fn(arrays)
+    pad = (-num_batches) % block
+
+    def prep(a):
+        if pad:
+            a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        return a.reshape((-1, block) + a.shape[1:])
+
+    outs = jax.lax.map(block_fn, tuple(prep(a) for a in arrays))
+    return tuple(
+        o.reshape((-1,) + o.shape[2:])[:num_batches] for o in outs
+    )
+
+
 def batch_losses(params: MFParams, split: LabeledSplit, batch_size: int):
     """Per-batch masked mean BCE + the epoch average over non-empty batches.
 
     Valid rows are compacted at the front of every split, so this equals
-    the reference's sequential-loader mean-of-batch-means exactly.
+    the reference's sequential-loader mean-of-batch-means exactly.  The
+    batch axis streams through ``map_batch_blocks`` so the row gathers
+    never materialize a whole K-multiplied split at once.
     """
     u, i, j, z, valid = _pad_to_batches(split, batch_size)
-    logits = forward_logits(params, u, i, j)
-    losses = bce_with_logits(logits, z)
-    per_batch_sum = jnp.sum(jnp.where(valid, losses, 0.0), axis=1)
-    per_batch_cnt = jnp.sum(valid, axis=1)
+
+    def block_stats(args):
+        bu, bi, bj, bz, bv = args
+        logits = forward_logits(params, bu, bi, bj)
+        losses = bce_with_logits(logits, bz)
+        return (jnp.sum(jnp.where(bv, losses, 0.0), axis=1),
+                jnp.sum(bv, axis=1))
+
+    per_batch_sum, per_batch_cnt = map_batch_blocks(
+        block_stats, (u, i, j, z, valid), u.shape[0])
     nonempty = per_batch_cnt > 0
     per_batch_mean = jnp.where(
         nonempty, per_batch_sum / jnp.maximum(per_batch_cnt, 1), 0.0

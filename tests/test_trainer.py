@@ -100,3 +100,44 @@ def test_epoch_losses_are_batch_mean_of_means():
     bce = -(z * np.log(probs + eps) + (1 - z) * np.log(1 - probs + eps))
     expect = np.mean([bce[:32].mean(), bce[32:64].mean(), bce[64:70].mean()])
     np.testing.assert_allclose(float(val_losses[0]), expect, rtol=1e-4)
+
+
+def test_batch_losses_streams_blocks_exactly():
+    """map_batch_blocks restitching: a >1-block split matches a direct
+    single-shot computation to float32 ulp (XLA fuses the two graphs
+    differently, so reductions may differ in the last bit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcd_tpu.data.btl import LabeledSplit
+    from mfcd_tpu.models.mf import init_params, forward_logits
+    from mfcd_tpu.ops.losses import bce_with_logits
+    from mfcd_tpu.train import trainer
+
+    n, m, d, rows, bs = 30, 40, 2, 130 * 64 + 17, 64  # 131 batches, 3 blocks
+    key = jax.random.key(3)
+    params = init_params(key, n, m, d)
+    ks = jax.random.split(key, 4)
+    u = jax.random.randint(ks[0], (rows,), 0, n)
+    i = jax.random.randint(ks[1], (rows,), 0, m)
+    j = jax.random.randint(ks[2], (rows,), 0, m)
+    z = jax.random.bernoulli(ks[3], 0.5, (rows,)).astype(jnp.float32)
+    valid = jnp.arange(rows) < rows - 5
+    split = LabeledSplit(u=u, i=i, j=j, z=z, valid=valid,
+                         count=jnp.int32(rows - 5))
+
+    per_batch, epoch = trainer.batch_losses(params, split, bs)
+    assert per_batch.shape[0] == 131
+
+    # Direct unstreamed oracle.
+    pu, pi, pj, pz, pv = trainer._pad_to_batches(split, bs)
+    losses = bce_with_logits(forward_logits(params, pu, pi, pj), pz)
+    sums = jnp.sum(jnp.where(pv, losses, 0.0), axis=1)
+    cnts = jnp.sum(pv, axis=1)
+    means = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1), 0.0)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(per_batch), np.asarray(means),
+                               atol=5e-7, rtol=0)
+    expect = float(jnp.sum(means) / jnp.maximum(jnp.sum(cnts > 0), 1))
+    assert abs(float(epoch) - expect) < 1e-7
