@@ -20,18 +20,19 @@ run_step() {
 
 mkdir -p Data_final Data_strategies Data_generation
 
-# Non-base generators at production scale (VERDICT item 4b).
-if [ ! -f Data_generation/run_vs_s_K1_generation_gmm.pkl ]; then
-  run_step generation_s python -m experiments.runs generation_s_sweep --fast \
-    --out Data_generation/run_vs_s_K1_generation
-fi
+# Non-base generators at production scale (VERDICT item 4b).  All steps
+# run with --resume: completed configurations are skipped, partial pickles
+# are finished rather than trusted, so the pipeline is idempotent and
+# survives transient tunnel failures.
+run_step generation_s python -m experiments.runs generation_s_sweep --fast \
+  --resume --out Data_generation/run_vs_s_K1_generation
 
 # Cell 18: strategies x p, soft labels.
-run_step cell18 python -m experiments.runs strategies_p_sweep --fast \
+run_step cell18 python -m experiments.runs strategies_p_sweep --fast --resume \
   --out Data_strategies/run_vs_p
 
 # Cell 3: s x p x wd grid (faithful p list), soft labels.
-run_step cell3 python -m experiments.runs s_p_sweep --fast \
+run_step cell3 python -m experiments.runs s_p_sweep --fast --resume \
   --out Data_final/scan_K1_fixedLR_varS_varP_full_4.pkl
 
 # Cells 21 + 23: ground-truth-only scans.
@@ -41,30 +42,27 @@ run_step cell23 python -m experiments.runs gt_d_s_sweep \
   --out Data_final/scan_d_s_gt.pkl
 
 # Cell 9: p x K at s=5, soft labels.
-run_step cell9 python -m experiments.runs p_k_sweep --fast \
+run_step cell9 python -m experiments.runs p_k_sweep --fast --resume \
   --out Data_final/scan_pK_Final.pkl
 
 # Cell 7: p*K constants (linear), soft labels, pxK enrichment.
-run_step cell7 python -m experiments.runs pk_const_sweep --fast \
+run_step cell7 python -m experiments.runs pk_const_sweep --fast --resume \
   --out Data_final/scan_pK_constant_Final_s_wd_sweep.pkl
 
 # Cell 11: p*s constants (linear), soft labels.
-run_step cell11 python -m experiments.runs ps_const_sweep --fast \
+run_step cell11 python -m experiments.runs ps_const_sweep --fast --resume \
   --out Data_final/scan_ps_constant_Final.pkl
 
 # Cell 13: p x d.
-run_step cell13 python -m experiments.runs p_d_sweep --fast \
+run_step cell13 python -m experiments.runs p_d_sweep --fast --resume \
   --out Data_final/p_d_1.pkl
 
-# Cell 16: strategies x s (re-run when pickles are absent — the Data_*
-# directories are gitignored and do not survive environment resets).
-if [ ! -f Data_strategies/run_vs_s_K1_svd.pkl ]; then
-  run_step cell16 python -m experiments.runs strategies_s_sweep --fast \
-    --out Data_strategies/run_vs_s_K1
-fi
+# Cell 16: strategies x s.
+run_step cell16 python -m experiments.runs strategies_s_sweep --fast \
+  --resume --out Data_strategies/run_vs_s_K1
 
 # Cell 5 last (the heavyweight: K up to 50, ~4M-row buckets).
-run_step cell5 python -m experiments.runs s_k_sweep --fast \
+run_step cell5 python -m experiments.runs s_k_sweep --fast --resume \
   --out Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl
 
 # Regenerate every report figure from the pickles now on disk (CPU-only).
