@@ -65,6 +65,12 @@ run_step cell16 python -m experiments.runs strategies_s_sweep --fast \
 run_step cell5 python -m experiments.runs s_k_sweep --fast --resume \
   --out Data_final/scan_K_logspaceS_wdScan_p0.2_centered_soft_label_True_2.pkl
 
+# Corruption audit: cross-check every result row against its own GT
+# oracle (catches silently-zeroed training data from a sick worker).
+run_step audit env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
+  python scripts/audit_sweep.py 'Data_final/*.pkl' 'Data_strategies/*.pkl' \
+  'Data_generation/*.pkl'
+
 # Regenerate every report figure from the pickles now on disk (CPU-only).
 run_step figures bash scripts/make_all_figures.sh
 
