@@ -9,13 +9,22 @@ export PYTHONPATH="/root/repo:/root/.axon_site"
 LOG=${LOG:-/tmp/all_sweeps.log}
 
 run_step() {
+  # Up to 3 process-level attempts: a FAILED_PRECONDITION tunnel wedge is
+  # sticky for the process that hit it but clears for a fresh process
+  # after a few minutes (observed round 2).  Every sweep runs --resume,
+  # so re-attempts only redo what is missing.
   local name="$1"; shift
-  echo "=== STEP $name start $(date +%H:%M:%S) ===" >> "$LOG"
-  if "$@" >> "$LOG" 2>&1; then
-    echo "=== STEP $name OK $(date +%H:%M:%S) ===" >> "$LOG"
-  else
-    echo "=== STEP $name FAILED rc=$? $(date +%H:%M:%S) ===" >> "$LOG"
-  fi
+  local attempt
+  for attempt in 1 2 3; do
+    echo "=== STEP $name start (attempt $attempt) $(date +%H:%M:%S) ===" >> "$LOG"
+    if "$@" >> "$LOG" 2>&1; then
+      echo "=== STEP $name OK $(date +%H:%M:%S) ===" >> "$LOG"
+      return 0
+    fi
+    echo "=== STEP $name attempt $attempt failed rc=$? $(date +%H:%M:%S) ===" >> "$LOG"
+    [ "$attempt" -lt 3 ] && sleep 180
+  done
+  echo "=== STEP $name FAILED $(date +%H:%M:%S) ===" >> "$LOG"
 }
 
 mkdir -p Data_final Data_strategies Data_generation
