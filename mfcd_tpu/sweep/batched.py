@@ -133,6 +133,14 @@ def run_bucket(
                              # precondition bug just fails 3x and raises.
                              "FAILED_PRECONDITION", "FailedPrecondition"))
             if not transient or attempt == 2:
+                if "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg:
+                    print(
+                        "⚠️ persistent FAILED_PRECONDITION: if a bare "
+                        "fresh-compile probe works, the persistent compile "
+                        "cache likely holds executables from a restarted "
+                        "TPU worker — delete .jax_cache (see CLAUDE.md).",
+                        file=sys.stderr,
+                    )
                 raise
             import time as _time
 
