@@ -392,6 +392,17 @@ def main(argv=None):
         for name, fn in sorted(ALL.items()):
             print(f"{name:24s} {fn.__doc__.splitlines()[0]}")
         return 0
+    # Touch the backend with a trivial op before any sweep work: on the
+    # axon tunnel, processes whose first device op happens early and
+    # simply have been observed to dispatch reliably, while a first op
+    # issued later from inside the sweep machinery can hit a spurious
+    # FAILED_PRECONDITION (round-2 outage diagnosis).  Failing loudly here
+    # also separates "backend down" from "sweep bug" in the logs.
+    import jax
+    import jax.numpy as jnp
+
+    jnp.zeros(1).block_until_ready()
+
     kw = dict(out=args.out, fast=args.fast, scale=args.scale)
     if args.reps is not None:
         kw["reps"] = args.reps

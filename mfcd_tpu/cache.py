@@ -21,7 +21,12 @@ DEFAULT_CACHE_DIR = os.environ.get(
 def enable(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERYTHING, including sub-second programs: the remote compile
+    # helper can turn flaky after a worker restart (round-2 outage), and
+    # un-cached tiny programs (eager vmap key fan-outs) then re-roll that
+    # dice in every process.  With min-compile-time 0 every successful
+    # compile is banked and recovery ratchets forward.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     # Exact f32 matmuls everywhere: this environment's default drops to
     # bf16-pass precision (~1e-3 error), which corrupts QR/SVD-based

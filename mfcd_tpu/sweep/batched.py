@@ -100,7 +100,8 @@ def run_bucket(
     # device transport can hiccup; retry with backoff before giving up so
     # long sweeps survive infrastructure blips.
     last_err = None
-    for attempt in range(3):
+    attempts = 6
+    for attempt in range(attempts):
         try:
             out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
                                      use_pallas=use_pallas)
@@ -132,7 +133,7 @@ def run_bucket(
                              # at config 64/252); retryable — a genuine
                              # precondition bug just fails 3x and raises.
                              "FAILED_PRECONDITION", "FailedPrecondition"))
-            if not transient or attempt == 2:
+            if not transient or attempt == attempts - 1:
                 if "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg:
                     print(
                         "⚠️ persistent FAILED_PRECONDITION: if a bare "
@@ -144,9 +145,10 @@ def run_bucket(
                 raise
             import time as _time
 
-            print(f"⚠️ transient device error (attempt {attempt + 1}/3), "
+            print(f"⚠️ transient device error "
+                  f"(attempt {attempt + 1}/{attempts}), "
                   f"retrying: {msg[:120]}", file=sys.stderr)
-            _time.sleep(30 * (attempt + 1))
+            _time.sleep(15 * (attempt + 1))
     else:  # pragma: no cover
         raise last_err
 
