@@ -100,6 +100,16 @@ def main():
     from mfcd_tpu.core.config import RunConfig
     from mfcd_tpu.sweep.batched import run_bucket
 
+    # Self-heal a poisoned persistent compile cache (stale executables from
+    # a restarted TPU worker fail to load with FAILED_PRECONDITION) before
+    # the graded timing starts.
+    try:
+        from mfcd_tpu.cache import ensure_cache_healthy
+
+        ensure_cache_healthy()
+    except Exception as e:  # noqa: BLE001 — bench must still attempt the run
+        log(f"cache health check failed (continuing): {e}")
+
     if quick:
         cfg = RunConfig(n=100, m=100, d=2, p=0.2, num_epochs=5, reps=2)
         n_configs = 2
@@ -144,12 +154,42 @@ def main():
 
     metric = ("quick_smoke_runs_per_hour_per_chip_100x100" if quick else
               "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2")
-    print(json.dumps({
+    payload = {
         "metric": metric,
         "value": round(runs_per_hour_per_chip, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour_per_chip / 125.0, 3),
-    }))
+    }
+
+    if not quick:
+        # Also surface the fused-epoch Pallas kernel's payoff regime
+        # (reference cell 5's heavy K=10 shape, hot loop
+        # ``structure.py:845-852``) in the same single JSON line: the K=1
+        # headline doesn't exercise it (VERDICT r2 item 7).
+        try:
+            import dataclasses
+
+            k10 = dataclasses.replace(cfg, K=10, reps=2)
+            k10_rows = [{"s": 5.0, "lr": 1e-3, "weight_decay": 5e-6}]
+            timings = {}
+            for use_pallas in (True, False):
+                run_bucket(k10, k10_rows, [0], seed=123,
+                           use_pallas=use_pallas)  # compile
+                t0 = time.time()
+                k10_out = run_bucket(k10, k10_rows, [0], seed=321,
+                                     use_pallas=use_pallas)
+                timings[use_pallas] = (time.time() - t0) / k10.reps
+                log(f"K=10 use_pallas={use_pallas}: "
+                    f"{timings[use_pallas]:.2f}s/run "
+                    f"acc={[round(a, 3) for a in k10_out[0]['accuracy']]}")
+            payload["k10_pallas_runs_per_hour"] = round(
+                3600.0 / timings[True], 1)
+            payload["k10_pallas_speedup_vs_jnp"] = round(
+                timings[False] / timings[True], 2)
+        except Exception as e:  # noqa: BLE001 — keep the headline metric
+            log(f"K=10 pallas timing failed (headline unaffected): {e}")
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -96,19 +96,9 @@ def pk_const_sweep(out=None, save_every=4, fast=False, scale=1.0, reps=5,
         s_values.extend([s[i]] * len(p_values))
     p_values = p_values * len(s)
     K_values = K_values * len(s)
-    if resume and out:
-        # The post-hoc pxK enrichment below would stop completed params
-        # from matching the grid's; strip it so resume recognizes them.
-        import os
-        import pickle
-
-        if os.path.exists(out):
-            with open(out, "rb") as f:
-                prior = pickle.load(f)
-            for exp in prior:
-                exp["params"].pop("pxK", None)
-            with open(out, "wb") as f:
-                pickle.dump(prior, f)
+    # Resume matching ignores the post-hoc pxK enrichment (non-PARAM_KEYS
+    # entries are dropped by completed_param_sets), so the published pickle
+    # keeps its enriched schema at all times — no in-place rewrite.
     results = _scan(
         fast, n=n, m=m, d=2, p=p_values, K=K_values, s=s_values,
         lr=0.001, weight_decay=1e-5, linear=True,
@@ -402,6 +392,11 @@ def main(argv=None):
     import jax.numpy as jnp
 
     jnp.zeros(1).block_until_ready()
+    # Self-heal a poisoned persistent compile cache (stale executables from
+    # a restarted TPU worker) before committing to a long sweep.
+    from mfcd_tpu.cache import ensure_cache_healthy
+
+    ensure_cache_healthy()
 
     kw = dict(out=args.out, fast=args.fast, scale=args.scale)
     if args.reps is not None:

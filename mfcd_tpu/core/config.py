@@ -40,6 +40,11 @@ MIN_TEST_POINTS = 500
 DEFAULT_BATCH_SIZE = 64
 
 
+def _next_pow2(x: int) -> int:
+    """Smallest power of two >= x (1 for x <= 1)."""
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 @dataclasses.dataclass(frozen=True)
 class RunConfig:
     """One experiment configuration (the reference's 16 params).
@@ -82,7 +87,7 @@ class RunConfig:
     def shapes(self) -> "ShapeInfo":
         return ShapeInfo.from_config(self)
 
-    def shape_signature(self) -> Tuple:
+    def shape_signature(self, capped: bool = False) -> Tuple:
         """Hashable key identifying the compiled-program bucket.
 
         Configs with equal signatures share all array shapes and static
@@ -90,9 +95,22 @@ class RunConfig:
         entry.  s/lr/weight_decay are excluded — they are traced.  alpha is
         INCLUDED: it is baked statically into the samplers (it shapes the
         popularity law and the overdraw plan).
+
+        ``capped=True`` keys on the power-of-two *capacity* bucket instead
+        of the exact triplet budget (which then varies inside a bucket as a
+        traced scalar) — configs differing only in sparsity share programs.
         """
+        sh = self.shapes()
+        if capped:
+            t_key = (
+                _next_pow2(sh.num_triplets),
+                _next_pow2(sh.extra_test_triplets)
+                if sh.extra_test_triplets > 0 else 0,
+            )
+        else:
+            t_key = (sh.num_triplets, sh.extra_test_triplets)
         return (
-            self.n, self.m, self.d, self.num_triplets, self.K,
+            self.n, self.m, self.d, t_key, self.K,
             self.num_epochs, self.reps, self.strategy,
             self.popularity_method, self.alpha, self.soft_label,
             self.generation, self.batch_size,
@@ -264,9 +282,15 @@ class SweepSpec:
         ]
 
 
-def bucket_by_shape(configs: Sequence[RunConfig]) -> Dict[Tuple, List[int]]:
-    """Group config indices by shape signature (compile-bucket planning)."""
+def bucket_by_shape(
+    configs: Sequence[RunConfig], capped: bool = False
+) -> Dict[Tuple, List[int]]:
+    """Group config indices by shape signature (compile-bucket planning).
+
+    ``capped=True`` groups by capacity bucket: configs differing only in
+    sparsity land in one bucket and run as one program with traced exact
+    budgets."""
     buckets: Dict[Tuple, List[int]] = {}
     for idx, cfg in enumerate(configs):
-        buckets.setdefault(cfg.shape_signature(), []).append(idx)
+        buckets.setdefault(cfg.shape_signature(capped=capped), []).append(idx)
     return buckets

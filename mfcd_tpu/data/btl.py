@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from mfcd_tpu.core import rng
-from mfcd_tpu.core.config import RunConfig, ShapeInfo
+from mfcd_tpu.core.config import RunConfig, ShapeInfo, TRAIN_RATIO, VAL_RATIO
 from mfcd_tpu.sampling import sample_triplets, split_triplets
 from mfcd_tpu.sampling.dedup import TripletSet
 
@@ -87,6 +87,118 @@ class Dataset(NamedTuple):
     sample: TripletSet  # the full unique triplet sample (for diagnostics)
 
 
+class SampledSplits(NamedTuple):
+    """Unlabeled triplet splits (K-free): the output of the sample stage."""
+
+    sample: TripletSet       # the full unique triplet draw
+    train: jax.Array         # [train_cap, 3]
+    train_count: jax.Array
+    val: jax.Array           # [val_cap, 3]
+    val_count: jax.Array
+    test: jax.Array          # [test_cap + extra_cap, 3] (top-up folded in)
+    test_count: jax.Array
+
+
+def sample_and_split(
+    streams: dict,
+    x: jax.Array,
+    t_cap: int,
+    extra_cap: int,
+    strategy: str,
+    popularity_method: str = "zipf",
+    alpha: float = 1.5,
+    budget=None,
+    extra_budget=None,
+) -> SampledSplits:
+    """Sample unique triplets, split 80/10/10, and top up the test split.
+
+    This half of the dataset build is independent of K and soft_label, so
+    its compiled program is shared across every labeling scheme.
+    ``t_cap`` / ``extra_cap`` are static array capacities; ``budget`` /
+    ``extra_budget`` optionally carry *traced* exact triplet targets so one
+    executable serves every sparsity value in a capacity bucket (the
+    trainer's dynamic trip counts make capacity padding free at runtime).
+    Defaults reproduce exact-capacity semantics.
+    """
+    train_cap = int(TRAIN_RATIO * t_cap)
+    val_cap = int(VAL_RATIO * t_cap)
+    test_cap = t_cap - train_cap - val_cap
+
+    sample = sample_triplets(
+        streams["sampling"], x, t_cap,
+        strategy=strategy,
+        popularity_method=popularity_method,
+        alpha=alpha,
+        budget=budget,
+    )
+
+    splits = split_triplets(
+        sample, jnp.asarray(rng.split_permutation(t_cap)),
+        train_cap=train_cap,
+        val_cap=val_cap,
+        test_cap=test_cap,
+    )
+
+    test_triplets = splits.test
+    test_count = splits.test_count
+    if extra_cap > 0:
+        extra = sample_triplets(
+            streams["extra_sampling"], x, extra_cap,
+            strategy=strategy,
+            popularity_method=popularity_method,
+            alpha=alpha,
+            exclude=sample.triplets,
+            exclude_valid=sample.valid,
+            budget=extra_budget,
+        )
+        # Compact concatenation: valid test rows first, then valid extras.
+        both = jnp.concatenate([splits.test, extra.triplets], axis=0)
+        both_valid = jnp.concatenate(
+            [jnp.arange(test_cap) < test_count, extra.valid]
+        )
+        pos = jnp.cumsum(both_valid) - 1
+        cap = test_cap + extra_cap
+        to = jnp.where(both_valid, pos, cap)
+        test_triplets = jnp.zeros((cap, 3), jnp.int32).at[to].set(
+            both, mode="drop")
+        test_count = test_count + extra.count
+
+    return SampledSplits(
+        sample=sample,
+        train=splits.train, train_count=splits.train_count,
+        val=splits.val, val_count=splits.val_count,
+        test=test_triplets, test_count=test_count,
+    )
+
+
+def label_splits(
+    streams: dict,
+    x: jax.Array,
+    splits: SampledSplits,
+    s,
+    K: int,
+    soft_label: bool,
+) -> Tuple[LabeledSplit, LabeledSplit, LabeledSplit]:
+    """BTL-label sampled splits: (train, val, test).
+
+    Train follows ``soft_label``; val/test are always hard-labeled
+    (reference ``structure.py:733-735``).
+    """
+    train = btl_label(
+        streams["labels_train"], x, splits.train, splits.train_count,
+        s, K, soft_label=soft_label,
+    )
+    val = btl_label(
+        streams["labels_val"], x, splits.val, splits.val_count,
+        s, K, soft_label=False,
+    )
+    test = btl_label(
+        streams["labels_test"], x, splits.test, splits.test_count,
+        s, K, soft_label=False,
+    )
+    return train, val, test
+
+
 def build_dataset(
     streams: dict,
     x: jax.Array,
@@ -104,55 +216,15 @@ def build_dataset(
         shapes = cfg.shapes()
     if s is None:
         s = cfg.s
-    t = shapes.num_triplets
 
-    sample = sample_triplets(
-        streams["sampling"], x, t,
+    splits = sample_and_split(
+        streams, x,
+        t_cap=shapes.num_triplets,
+        extra_cap=shapes.extra_test_triplets,
         strategy=cfg.strategy,
         popularity_method=cfg.popularity_method,
         alpha=cfg.alpha,
     )
-
-    splits = split_triplets(
-        sample, jnp.asarray(rng.split_permutation(t)),
-        train_cap=shapes.train_triplets,
-        val_cap=shapes.val_triplets,
-        test_cap=shapes.test_triplets,
-    )
-
-    test_triplets = splits.test
-    test_count = splits.test_count
-    if shapes.extra_test_triplets > 0:
-        extra = sample_triplets(
-            streams["extra_sampling"], x, shapes.extra_test_triplets,
-            strategy=cfg.strategy,
-            popularity_method=cfg.popularity_method,
-            alpha=cfg.alpha,
-            exclude=sample.triplets,
-            exclude_valid=sample.valid,
-        )
-        # Compact concatenation: valid test rows first, then valid extras.
-        both = jnp.concatenate([splits.test, extra.triplets], axis=0)
-        both_valid = jnp.concatenate(
-            [jnp.arange(shapes.test_triplets) < test_count, extra.valid]
-        )
-        pos = jnp.cumsum(both_valid) - 1
-        cap = shapes.test_triplets + shapes.extra_test_triplets
-        to = jnp.where(both_valid, pos, cap)
-        test_triplets = jnp.zeros((cap, 3), jnp.int32).at[to].set(
-            both, mode="drop")
-        test_count = test_count + extra.count
-
-    train = btl_label(
-        streams["labels_train"], x, splits.train, splits.train_count,
-        s, cfg.K, soft_label=cfg.soft_label,
-    )
-    val = btl_label(
-        streams["labels_val"], x, splits.val, splits.val_count,
-        s, cfg.K, soft_label=False,
-    )
-    test = btl_label(
-        streams["labels_test"], x, test_triplets, test_count,
-        s, cfg.K, soft_label=False,
-    )
-    return Dataset(train=train, val=val, test=test, sample=sample)
+    train, val, test = label_splits(
+        streams, x, splits, s, cfg.K, cfg.soft_label)
+    return Dataset(train=train, val=val, test=test, sample=splits.sample)

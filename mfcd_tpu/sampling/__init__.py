@@ -46,6 +46,7 @@ def sample_triplets(
     popularity_method: str = "zipf",
     alpha: float = 1.5,
     n_clusters: int = 10,
+    budget=None,
 ) -> TripletSet:
     """Sample ``num_triplets`` unique (u, i, j) comparisons from X.
 
@@ -56,8 +57,16 @@ def sample_triplets(
     ``alpha`` enters the overdraw plan only for ``popularity``, so it stays a
     static argument here; per-candidate numerics treat it as a constant too
     (it's baked into the probs).  All other numeric inputs may be traced.
+
+    ``budget`` (traced, optional) carries the exact target when
+    ``num_triplets`` is a rounded-up *capacity* shared across a compile
+    bucket: proposal shapes and the overdraw plan key on the capacity,
+    while the kept-triplet count, the margin acceptance window, and the
+    svd projection rank honor the exact budget.  ``user_similarity``'s
+    neighbor/top-set sizes stay capacity-derived (static shapes).
     """
     n, m = x.shape
+    eff_budget = num_triplets if budget is None else budget
     if m_draw is None:
         m_draw = plan_overdraw(
             strategy, num_triplets, n, m,
@@ -70,7 +79,7 @@ def sample_triplets(
         cands, valid = strategies.propose_proximity(key, x, m_draw)
     elif strategy == "margin":
         cands, valid = strategies.propose_margin(
-            key, x, m_draw, num_triplets=num_triplets)
+            key, x, m_draw, num_triplets=eff_budget)
     elif strategy == "variance":
         cands, valid = strategies.propose_variance(key, x, m_draw)
     elif strategy == "popularity":
@@ -86,11 +95,12 @@ def sample_triplets(
             key, x, m_draw, num_triplets=num_triplets)
     elif strategy == "svd":
         cands, valid = strategies.propose_svd(
-            key, x, m_draw, num_triplets=num_triplets)
+            key, x, m_draw, num_triplets=num_triplets, budget=budget)
     else:
         raise ValueError(f"Unknown triplet sampling strategy: {strategy}")
 
     return select_unique(
         cands, valid, num_triplets,
         exclude=exclude, exclude_valid=exclude_valid, nm_shape=(n, m),
+        budget=budget,
     )

@@ -57,13 +57,19 @@ def select_unique(
     exclude_valid: Optional[jax.Array] = None,
     nm_shape: Optional[tuple] = None,
     method: str = "auto",
+    budget=None,
 ) -> TripletSet:
     """First-occurrence selection of unique valid triplets.
 
     Args:
       cands: [M, 3] int32 proposals in draw order.
       valid: [M] bool per-proposal validity (i != j, strategy acceptance...).
-      target: static output size T.
+      target: static output size T (the array capacity).
+      budget: optional *traced* scalar exact target <= ``target``.  When
+        given, only the first ``budget`` unique triplets count as valid
+        (``count <= budget``) while arrays keep the static ``target``
+        capacity — this lets one compiled program serve every sparsity
+        value in a capacity bucket.  Defaults to ``target``.
       exclude: optional [E, 3] forbidden triplets (the reference's
         ``exclude`` set), with optional [E] mask ``exclude_valid``.
       nm_shape: optional static (n, m).  When ``n*m*m < 2^31`` the triplet
@@ -88,7 +94,8 @@ def select_unique(
 
     if method == "hash":
         return _select_unique_hashed(
-            cands, valid, target, exclude, exclude_valid, nm_shape)
+            cands, valid, target, exclude, exclude_valid, nm_shape,
+            budget=budget)
 
     rows = jnp.where(valid[:, None], cands.astype(jnp.int32), _SENT)
     order = jnp.arange(m_cand, dtype=jnp.int32)
@@ -137,14 +144,23 @@ def select_unique(
     # Back to draw order, then compact the kept rows to the front.
     keep = jnp.zeros(rows.shape[0], dtype=bool).at[sort_idx].set(keep_sorted)
     keep = keep[-m_cand:]
-    return _compact(cands, keep, target)
+    return _compact(cands, keep, target, budget=budget)
 
 
-def _compact(cands: jax.Array, keep: jax.Array, target: int) -> TripletSet:
-    """Scatter kept rows (in draw order) into the first slots."""
+def _compact(
+    cands: jax.Array, keep: jax.Array, target: int, budget=None
+) -> TripletSet:
+    """Scatter kept rows (in draw order) into the first slots.
+
+    ``budget`` (traced, defaults to ``target``) caps the number of kept
+    rows below the static capacity so bucketed programs honor each
+    configuration's exact triplet target.
+    """
+    if budget is None:
+        budget = target
     pos = jnp.cumsum(keep) - 1
-    count = jnp.minimum(jnp.sum(keep), target).astype(jnp.int32)
-    scatter_to = jnp.where(keep & (pos < target), pos, target)
+    count = jnp.minimum(jnp.sum(keep), budget).astype(jnp.int32)
+    scatter_to = jnp.where(keep & (pos < budget), pos, target)
     out = jnp.zeros((target, 3), dtype=jnp.int32).at[scatter_to].set(
         cands.astype(jnp.int32), mode="drop"
     )
@@ -152,7 +168,7 @@ def _compact(cands: jax.Array, keep: jax.Array, target: int) -> TripletSet:
 
 
 def _select_unique_hashed(
-    cands, valid, target, exclude, exclude_valid, nm_shape
+    cands, valid, target, exclude, exclude_valid, nm_shape, budget=None
 ) -> TripletSet:
     """Exact-uniqueness winner selection via scatter-min on a hash table.
 
@@ -198,7 +214,7 @@ def _select_unique_hashed(
     table = table.at[slot].min(all_order, mode="drop")
     winner = (table[jnp.minimum(slot, h - 1)] == all_order) & all_valid
     keep = winner[-m_cand:]
-    return _compact(cands, keep, target)
+    return _compact(cands, keep, target, budget=budget)
 
 
 class SplitArrays(NamedTuple):

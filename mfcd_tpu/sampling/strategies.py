@@ -201,7 +201,13 @@ def svd_rank(num_triplets: int, n: int, m: int) -> int:
     return max(1, int(num_triplets / (n * m) * max(n, m)))
 
 
-def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3):
+def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
+                budget=None):
+    """``num_triplets`` (static) sizes the truncated decomposition; the
+    optional traced ``budget`` masks the active rank down to the exact
+    budget's ``svd_rank`` so one compiled program serves a capacity
+    bucket of sparsities (components beyond the exact rank are zeroed
+    before the norm/top-fraction selection)."""
     n, m = x.shape
     kp, key = jax.random.split(key)
     rank = min(svd_rank(num_triplets, n, m), min(n, m))
@@ -210,8 +216,15 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3):
     # ``rank`` projection norms matter for the top-fraction selection.
     q = min(rank + 8, min(n, m))
     u_full, s, vt = randomized_svd(x, q, kp)
-    u_proj = u_full[:, :rank] * s[:rank][None, :]
-    v_proj = vt[:rank, :].T * s[:rank][None, :]
+    if budget is None:
+        rank_mask = jnp.ones((rank,), jnp.float32)
+    else:
+        rank_exact = jnp.floor(
+            budget / (n * m) * max(n, m)).astype(jnp.int32)
+        rank_exact = jnp.clip(rank_exact, 1, rank)
+        rank_mask = (jnp.arange(rank) < rank_exact).astype(jnp.float32)
+    u_proj = u_full[:, :rank] * (s[:rank] * rank_mask)[None, :]
+    v_proj = vt[:rank, :].T * (s[:rank] * rank_mask)[None, :]
     user_norms = jnp.linalg.norm(u_proj, axis=1)
     item_norms = jnp.linalg.norm(v_proj, axis=1)
     num_top_users = max(1, int(top_fraction * n))

@@ -58,12 +58,19 @@ def run_bucket(
     seed: int = DEFAULT_SEED,
     mesh: Optional[Mesh] = None,
     use_pallas: Optional[bool] = None,
+    caps=None,
+    bucket_configs: Optional[Sequence[RunConfig]] = None,
 ) -> List[Dict[str, Any]]:
     """Run a same-shape bucket of configurations, optionally mesh-sharded.
 
     ``hyper_rows`` carries the traced values ``{'s', 'lr', 'weight_decay'}``
     per configuration; ``config_indices`` are global experiment indices for
     key folding (so results are identical with or without batching).
+
+    With ``caps`` (a ``(t_cap, extra_cap)`` capacity bucket) and
+    ``bucket_configs`` (the per-row RunConfigs), configurations differing
+    only in sparsity share one program: each row's exact triplet budget is
+    traced (VERDICT r2 item 2).
     """
     if use_pallas is None:
         platform = (
@@ -88,6 +95,16 @@ def run_bucket(
     lr = np.asarray([r["lr"] for r in rows], np.float32)
     wd = np.asarray([r["weight_decay"] for r in rows], np.float32)
 
+    if bucket_configs is not None:
+        shs = [c.shapes() for c in bucket_configs]
+    else:
+        shs = [cfg.shapes()] * b
+    shs = shs + [shs[-1]] * pad
+    budgets = np.asarray([sh.num_triplets for sh in shs], np.int32)
+    extra_budgets = np.asarray(
+        [sh.extra_test_triplets for sh in shs], np.int32)
+    targets = [sh.num_triplets for sh in shs[:b]]
+
     shape_cfg = _shape_only(cfg)
     if mesh is not None:
         sharding = NamedSharding(mesh, P("grid"))
@@ -95,16 +112,21 @@ def run_bucket(
         s = jax.device_put(s, sharding)
         lr = jax.device_put(lr, sharding)
         wd = jax.device_put(wd, sharding)
+        budgets = jax.device_put(budgets, sharding)
+        extra_budgets = jax.device_put(extra_budgets, sharding)
 
     # Transient-failure recovery (SURVEY §5.3): remote compilation and the
     # device transport can hiccup; retry with backoff before giving up so
     # long sweeps survive infrastructure blips.
     last_err = None
     attempts = 6
+    fp_attempts = 0
     for attempt in range(attempts):
         try:
             out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas,
+                                     caps=caps, budgets=budgets,
+                                     extra_budgets=extra_budgets)
             # Materialize inside the retry scope: dispatch is async, so
             # device failures surface at the host transfer.
             host = {k: np.asarray(v) for k, v in out.items()}
@@ -123,17 +145,23 @@ def run_bucket(
                 raise
             # NB: XLA wraps deterministic failures in INTERNAL too — only
             # retry statuses that are reliably infrastructure-side.
+            is_fp = ("FAILED_PRECONDITION" in msg
+                     or "FailedPrecondition" in msg)
+            if is_fp:
+                # Axon-tunnel worker restarts surface as bare
+                # FAILED_PRECONDITION "TPU backend error" at the host
+                # transfer (observed killing a sweep at config 64/252);
+                # retryable — but a poisoned persistent compile cache
+                # produces the SAME status deterministically, so cap these
+                # at 2 retries instead of burning the full backoff budget
+                # before surfacing the actionable cache hint (ADVICE r2).
+                fp_attempts += 1
             transient = any(tok in msg for tok in
                             ("remote_compile", "UNAVAILABLE",
                              "DEADLINE_EXCEEDED",
-                             "worker process crashed",
-                             # Axon-tunnel worker restarts surface as bare
-                             # FAILED_PRECONDITION "TPU backend error" at
-                             # the host transfer (observed killing a sweep
-                             # at config 64/252); retryable — a genuine
-                             # precondition bug just fails 3x and raises.
-                             "FAILED_PRECONDITION", "FailedPrecondition"))
-            if not transient or attempt == attempts - 1:
+                             "worker process crashed")) or is_fp
+            if (not transient or attempt == attempts - 1
+                    or (is_fp and fp_attempts > 2)):
                 if "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg:
                     print(
                         "⚠️ persistent FAILED_PRECONDITION: if a bare "
@@ -157,20 +185,23 @@ def run_bucket(
         per_cfg = {k: v[bi] for k, v in host.items()}
         counts = per_cfg.pop("sample_count")
         for c in counts:
-            if int(c) < cfg.num_triplets:
+            if int(c) < targets[bi]:
                 # Diagnostics go to stderr: bench.py and other
                 # stdout-JSON consumers drive this path.
                 print(
                     f"⚠️ Only {int(c)} triplets generated for strategy: "
-                    f"{cfg.strategy} (target={cfg.num_triplets})",
+                    f"{cfg.strategy} (target={targets[bi]})",
                     file=sys.stderr,
                 )
         results.append(export_results(per_cfg))
     return results
 
 
-def default_max_bucket(cfg: RunConfig) -> int:
+def default_max_bucket(cfg: RunConfig, t_cap: Optional[int] = None) -> int:
     """Configs per program, bounded by a per-run device-memory estimate.
+
+    ``t_cap`` sizes the estimate at the capacity bucket (arrays in a
+    bucketed program are allocated at ``t_cap``, not the exact budget).
 
     Per run the program holds the n x m matrices (X and the metric-stage
     UV^T materializations), ~a dozen row-length arrays (train split,
@@ -184,11 +215,16 @@ def default_max_bucket(cfg: RunConfig) -> int:
     from mfcd_tpu.eval.metrics import _RANK_CUBE_ELEMS
     from mfcd_tpu.sampling.dedup import _next_pow2
     from mfcd_tpu.sampling.strategies import plan_overdraw
+    from mfcd_tpu.train.trainer import _LOSS_BLOCK_BATCHES
 
     sh = cfg.shapes()
-    rows_pad = _next_pow2(max(sh.train_rows, 1))
+    t = sh.num_triplets if t_cap is None else t_cap
+    train_rows = int(0.8 * t) * (1 if cfg.soft_label else cfg.K)
+    # val + test rows at capacity (always hard-labeled, so x K).
+    eval_raw = (t - int(0.8 * t)) * cfg.K + sh.extra_test_triplets * cfg.K
+    rows_pad = _next_pow2(max(train_rows, 1))
     m_draw = plan_overdraw(
-        cfg.strategy, cfg.num_triplets, cfg.n, cfg.m,
+        cfg.strategy, t, cfg.n, cfg.m,
         popularity_method=cfg.popularity_method, alpha=cfg.alpha,
     )
     # The metrics stage's counting ranker streams [block, m, m] boolean
@@ -200,8 +236,9 @@ def default_max_bucket(cfg: RunConfig) -> int:
     # gathers stream in bounded blocks (trainer.map_batch_blocks), so only
     # the ~17B/row (u,i,j int32 + label f32 + valid) storage counts here,
     # plus one live lane-padded [block*bs, 128] gather triple.
-    eval_rows = _next_pow2(max(sh.val_rows + sh.test_rows, 1))
-    eval_bytes = eval_rows * 17 + 64 * cfg.batch_size * 128 * 4 * 3
+    eval_rows = _next_pow2(max(eval_raw, 1))
+    eval_bytes = (eval_rows * 17
+                  + _LOSS_BLOCK_BATCHES * cfg.batch_size * 128 * 4 * 3)
     per_run_bytes = (cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
                      + m_draw * 48 + rank_cube_bytes + eval_bytes)
     budget_runs = max(4, int(2e9 / per_run_bytes))
@@ -217,6 +254,7 @@ def parameter_scan_fast(
     batch_size: int = 64,
     max_bucket: Optional[int] = None,
     resume: bool = False,
+    pad_compiles: bool = True,
     **params,
 ) -> List[Dict[str, Any]]:
     """Mesh-parallel ``parameter_scan`` with identical semantics and schema.
@@ -231,7 +269,7 @@ def parameter_scan_fast(
     spec = SweepSpec(params=params, linear=linear, batch_size=batch_size)
     param_sets = spec.expand()
     configs = [RunConfig(batch_size=batch_size, **ps) for ps in param_sets]
-    buckets = bucket_by_shape(configs)
+    buckets = bucket_by_shape(configs, capped=pad_compiles)
 
     done: List[Dict[str, Any]] = []
     if save_path:
@@ -251,8 +289,14 @@ def parameter_scan_fast(
         if not indices:
             continue
         rep_cfg = configs[indices[0]]
+        caps = None
+        if pad_compiles:
+            from mfcd_tpu.sweep.engine import compile_caps
+
+            caps = compile_caps(rep_cfg)
         bucket_cap = (max_bucket if max_bucket is not None
-                      else default_max_bucket(rep_cfg))
+                      else default_max_bucket(
+                          rep_cfg, t_cap=caps[0] if caps else None))
         def _run_chunk(chunk):
             """Run a chunk; on device OOM, bisect it (the budget estimate
             is a heuristic — halving converges to a fitting size)."""
@@ -265,7 +309,9 @@ def parameter_scan_fast(
                 for i in chunk
             ]
             try:
-                return run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh)
+                return run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh,
+                                  caps=caps,
+                                  bucket_configs=[configs[i] for i in chunk])
             except (jax.errors.JaxRuntimeError, ValueError) as e:
                 if not _is_oom(str(e)) or len(chunk) <= 1:
                     raise

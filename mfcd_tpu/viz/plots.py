@@ -171,13 +171,24 @@ def get_best_params_all_metrics(results):
 
     Deeply-nested diagnostic entries (``sampled_*_rows`` and the per-row
     matrices) have no scalar "best"; the reference silently ranks them by
-    Python list comparison — here they are skipped instead."""
+    Python list comparison — here they are skipped by inspecting the value
+    shape up front (a blanket except would also hide genuine bugs in the
+    scalar path, ADVICE r2)."""
+    def _is_rankable(value):
+        # Probe only the value normalization of the FIRST experiment: the
+        # diagnostic entries are ragged (per-row lists of varying length)
+        # and fail to flatten.  Errors raised later inside get_best_params
+        # (argmin over all experiments, printing) are genuine bugs and
+        # propagate.
+        try:
+            return len(_metric_values(value)) > 0
+        except (TypeError, ValueError):
+            return False
+
     out = {}
     for metric in results[0]["results"].keys():
-        try:
+        if _is_rankable(results[0]["results"][metric]):
             out[metric] = get_best_params(results, metric)
-        except TypeError:
-            pass
     return out
 
 

@@ -1,0 +1,114 @@
+"""Compile-capacity bucketing (VERDICT r2 item 2).
+
+A linear sparsity scan must not pay one build-stage compile per distinct
+p: array capacities round up to power-of-two buckets while each config's
+exact triplet budget flows through as a traced scalar.  These tests pin
+
+1. bit-parity with the unpadded path when the budget is already a power
+   of two (the padded program with budget == capacity must be the same
+   computation),
+2. exact-budget semantics (count == target, split sizes from the exact
+   count) when the capacity exceeds the budget,
+3. that a cell-7-style (p, K) grid collapses to a handful of sample-stage
+   compile keys (the expensive stage; reference sequential loop:
+   ``structure.py:160-171``),
+4. engine/fast-path equivalence with capping enabled.
+"""
+
+import numpy as np
+import pytest
+
+from mfcd_tpu.core.config import RunConfig, bucket_by_shape
+from mfcd_tpu.sweep.engine import compile_caps, run_config
+
+
+def _cfg(**kw):
+    base = dict(n=64, m=64, d=2, p=0.25, s=2.0, num_epochs=3, reps=2, K=2,
+                soft_label=True)
+    base.update(kw)
+    return RunConfig(**base)
+
+
+def test_pow2_budget_bit_parity():
+    # T = 64*64*0.25/2 = 512 (a power of two): capacity == budget, so the
+    # padded and unpadded paths must agree bit-for-bit on every key.
+    cfg = _cfg(p=0.25)
+    assert compile_caps(cfg)[0] == cfg.num_triplets
+    r_pad = run_config(cfg, pad_compiles=True)
+    r_exact = run_config(cfg, pad_compiles=False)
+    assert set(r_pad) == set(r_exact)
+    for k in r_pad:
+        np.testing.assert_array_equal(
+            np.asarray(r_pad[k]), np.asarray(r_exact[k]), err_msg=k)
+
+
+def test_padded_budget_respected():
+    # T = 409 pads to a 512 capacity; counts and split sizes must follow
+    # the exact budget, not the capacity.
+    cfg = _cfg(p=0.2, K=1, soft_label=False)
+    t_cap, _ = compile_caps(cfg)
+    assert t_cap == 512 and cfg.num_triplets == 409
+    res = run_config(cfg, pad_compiles=True)
+    # train losses finite, accuracy sensible (not the padded-garbage 0/NaN)
+    assert np.all(np.isfinite(np.asarray(res["train_losses"])))
+    assert np.all(np.asarray(res["accuracy"]) > 0.3)
+
+
+def test_cell7_grid_compile_key_collapse():
+    """The full cell-7 (p, K) pair grid at n=m=1000 must need <= 8 distinct
+    sample-stage keys (vs 63 exact budgets)."""
+    target_constants = [0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.5, 1]
+    possible_K = [1, 2, 3, 4, 5, 7, 10]
+    pairs = []
+    for c in target_constants:
+        for K in possible_K:
+            p = round(c / K, 5)
+            if p <= 1:
+                pairs.append((p, K))
+    assert len(pairs) == 63
+    caps = {
+        compile_caps(RunConfig(n=1000, m=1000, d=2, p=p, K=K,
+                               soft_label=True))[0]
+        for p, K in pairs
+    }
+    assert len(caps) <= 8, caps
+    exact = {RunConfig(n=1000, m=1000, d=2, p=p, K=K).num_triplets
+             for p, K in pairs}
+    assert len(exact) > 30  # the collapse is real
+
+    # Capped bucketing groups the whole grid into few run buckets too.
+    cfgs = [RunConfig(n=1000, m=1000, d=2, p=p, K=K, soft_label=True)
+            for p, K in pairs]
+    capped = bucket_by_shape(cfgs, capped=True)
+    uncapped = bucket_by_shape(cfgs, capped=False)
+    assert len(capped) < len(uncapped)
+
+
+def test_fast_path_matches_sequential_with_caps():
+    from mfcd_tpu.sweep.batched import parameter_scan_fast
+    from mfcd_tpu.sweep.engine import parameter_scan
+
+    kw = dict(n=48, m=48, d=2, p=[0.15, 0.2], s=[1.0, 4.0], K=1,
+              num_epochs=2, reps=2, soft_label=True)
+    seq = parameter_scan(**kw)
+    fast = parameter_scan_fast(**kw)
+    assert len(seq) == len(fast) == 4
+    for a, b in zip(seq, fast):
+        assert a["params"] == b["params"]
+        np.testing.assert_allclose(
+            np.asarray(a["results"]["accuracy"]),
+            np.asarray(b["results"]["accuracy"]), rtol=0, atol=0)
+        np.testing.assert_allclose(
+            np.asarray(a["results"]["train_losses"]),
+            np.asarray(b["results"]["train_losses"]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["margin", "svd"])
+def test_budget_traced_strategies_padded_run(strategy):
+    """margin / svd consume the exact budget numerically (acceptance
+    window / projection rank); the padded path must still hit its target
+    count on an unconstrained budget."""
+    cfg = _cfg(p=0.1, K=1, soft_label=False, strategy=strategy,
+               num_epochs=2, reps=1)
+    res = run_config(cfg, pad_compiles=True)
+    assert np.all(np.isfinite(np.asarray(res["accuracy"])))

@@ -108,10 +108,11 @@ def test_ps_const_pairs_enumeration():
         assert min(abs(p * s - c) for c in targets) < 1e-3
 
 
-def test_pk_const_sweep_resume_strips_enrichment(monkeypatch, tmp_path):
-    """Resuming cell 7 over an already-enriched pickle must strip the
-    post-hoc pxK key first so completed configs match the grid (else the
-    whole sweep re-runs and the pickle doubles)."""
+def test_pk_const_sweep_resume_keeps_enrichment(monkeypatch, tmp_path):
+    """Resuming cell 7 over an already-enriched pickle: the on-disk file
+    keeps its pxK enrichment at all times (no in-place rewrite, ADVICE r2)
+    — resume matching drops non-grid keys via ``completed_param_sets``
+    instead."""
     import pickle
 
     out = str(tmp_path / "pkc.pkl")
@@ -128,8 +129,13 @@ def test_pk_const_sweep_resume_strips_enrichment(monkeypatch, tmp_path):
     with open(out, "wb") as f:
         pickle.dump(enriched, f)
     runs.pk_const_sweep(out=out, fast=True, resume=True)
-    assert "pxK" not in seen["params_at_scan"][0]["params"]
-    # ... and the final pickle is re-enriched.
+    # The pickle was never stripped mid-flight...
+    assert seen["params_at_scan"][0]["params"]["pxK"] == 0.1
+    # ... resume matching still recognizes the enriched entry...
+    from mfcd_tpu.utils.io import completed_param_sets
+
+    assert all("pxK" not in ps for ps in completed_param_sets(out))
+    # ... and the final pickle remains enriched.
     final = pickle.load(open(out, "rb"))
     assert final[0]["params"]["pxK"] == 0.1
 

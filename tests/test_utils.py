@@ -20,10 +20,11 @@ from mfcd_tpu.utils.observability import JsonlLogger, ThroughputMeter
 
 def test_incremental_pickle_protocol(tmp_path):
     path = str(tmp_path / "res.pkl")
-    append_results(path, [{"params": {"a": 1}, "results": {}}])
-    append_results(path, [{"params": {"a": 2}, "results": {}}])
-    assert [e["params"]["a"] for e in load_results(path)] == [1, 2]
-    assert completed_param_sets(path) == [{"a": 1}, {"a": 2}]
+    append_results(path, [{"params": {"p": 0.1}, "results": {}}])
+    append_results(path, [{"params": {"p": 0.2, "pxK": 0.2}, "results": {}}])
+    assert [e["params"]["p"] for e in load_results(path)] == [0.1, 0.2]
+    # Resume matching drops enrichment keys outside the 16 grid params.
+    assert completed_param_sets(path) == [{"p": 0.1}, {"p": 0.2}]
     reset_save_path(path)
     assert load_results(path) == []
 
