@@ -153,9 +153,10 @@ def _train_bucket_jnp(params, train, val, ekeys, lr, wd,
     return jax.vmap(one_config)(params, train, val, ekeys, lr, wd)
 
 
-@partial(jax.jit, static_argnames=("batch_size", "num_epochs"))
+@partial(jax.jit, static_argnames=("batch_size", "num_epochs", "label_denom"))
 def _train_bucket_pallas(params, train, val, ekeys, lr, wd,
-                         batch_size: int, num_epochs: int):
+                         batch_size: int, num_epochs: int,
+                         label_denom: int = 1):
     """Stage 2 (Pallas fused-epoch trainer): flatten [B, R] -> [B*R] runs."""
     from mfcd_tpu.train.pallas_trainer import train_runs_pallas
 
@@ -167,6 +168,7 @@ def _train_bucket_pallas(params, train, val, ekeys, lr, wd,
         jnp.repeat(lr.astype(jnp.float32), r),
         jnp.repeat(wd.astype(jnp.float32), r),
         batch_size=batch_size, num_epochs=num_epochs,
+        label_denom=label_denom,
     )
     unflat = lambda t: jax.tree.map(
         lambda a: a.reshape((b, r) + a.shape[1:]), t)
@@ -258,11 +260,17 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
     test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
 
-    train_fn = _train_bucket_pallas if use_pallas else _train_bucket_jnp
-    params, tl, vl = train_fn(
-        params, train, val, streams["epochs"], lr, weight_decay,
-        batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-    )
+    if use_pallas:
+        params, tl, vl = _train_bucket_pallas(
+            params, train, val, streams["epochs"], lr, weight_decay,
+            batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+            label_denom=cfg.K if cfg.soft_label else 1,
+        )
+    else:
+        params, tl, vl = _train_bucket_jnp(
+            params, train, val, streams["epochs"], lr, weight_decay,
+            batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+        )
 
     return _metrics_bucket(
         params, x, s, test, streams["sample_rows"], splits.sample.count,

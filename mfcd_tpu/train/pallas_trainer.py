@@ -32,9 +32,36 @@ from mfcd_tpu.ops.shuffle import epoch_permutation
 from mfcd_tpu.train.trainer import batch_losses
 
 
+def _pack_spec(n: int, m: int, label_denom: int):
+    """How to pack a (u, i, j, z) row into int32 words for the per-epoch
+    permuted gather.
+
+    TPU 1D gathers cost ~1.2 ms per 1e5-element array (measured), and the
+    epoch shuffle gathers 4 row arrays 30x per run — the single largest
+    non-kernel cost of a training run (54% of the train stage).  Packing
+    the row into one int32 turns that into ONE gather (+ cheap VPU
+    unpacking), 2.4x faster, with bit-identical semantics: the integer
+    fields are exact, and the label is stored as its vote numerator k
+    (z = k / label_denom reproduces the original f32 exactly).
+
+    Returns ("full" | "uij" | "none", bits_n, bits_m, bits_z):
+      full — u, i, j and the z numerator fit in 31 bits: 1 gather;
+      uij  — only u, i, j fit: 2 gathers (packed ints + f32 z);
+      none — shapes too large: legacy 4-gather path.
+    """
+    bits_n = max((n - 1).bit_length(), 1)
+    bits_m = max((m - 1).bit_length(), 1)
+    bits_z = max(int(label_denom).bit_length(), 1)
+    if bits_n + 2 * bits_m + bits_z <= 31:
+        return "full", bits_n, bits_m, bits_z
+    if bits_n + 2 * bits_m <= 31:
+        return "uij", bits_n, bits_m, 0
+    return "none", 0, 0, 0
+
+
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "num_epochs", "interpret"),
+    static_argnames=("batch_size", "num_epochs", "label_denom", "interpret"),
 )
 def train_runs_pallas(
     params: MFParams,          # U [R, n, d], V [R, m, d]
@@ -45,9 +72,15 @@ def train_runs_pallas(
     weight_decay: jax.Array,   # [R]
     batch_size: int = 64,
     num_epochs: int = 30,
+    label_denom: int = 1,
     interpret: bool = False,
 ) -> Tuple[MFParams, jax.Array, jax.Array]:
-    """Train R runs; returns (params, train_losses [R,E], val_losses [R,E])."""
+    """Train R runs; returns (params, train_losses [R,E], val_losses [R,E]).
+
+    ``label_denom`` is the denominator of the training labels' rational
+    values (K under soft labels, else 1); it enables the packed-gather
+    fast path (``_pack_spec``) and must make ``z * label_denom`` integral.
+    """
     r, n, d = params.U.shape
     m = params.V.shape[1]
     rows = train.u.shape[1]
@@ -71,22 +104,56 @@ def train_runs_pallas(
     wd = weight_decay.astype(jnp.float32)
     slots = jnp.arange(padded, dtype=jnp.int32)
 
-    def gather_run(tr_u, tr_i, tr_j, tr_z, cnt, kperm):
-        rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
-        shape = (num_batches, batch_size)
-        return (
-            tr_u[rows_sel].reshape(shape),
-            tr_i[rows_sel].reshape(shape),
-            tr_j[rows_sel].reshape(shape),
-            tr_z[rows_sel].reshape(shape),
+    pack_mode, bits_n, bits_m, bits_z = _pack_spec(n, m, label_denom)
+    shape = (num_batches, batch_size)
+    if pack_mode != "none":
+        uij_packed = (
+            train.u
+            | (train.i << bits_n)
+            | (train.j << (bits_n + bits_m))
         )
+    if pack_mode == "full":
+        z_num = jnp.round(train.z * float(label_denom)).astype(jnp.int32)
+        full_packed = uij_packed | (z_num << (bits_n + 2 * bits_m))
+
+        def gather_run(tr_packed, cnt, kperm):
+            rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
+            y = tr_packed[rows_sel].reshape(shape)
+            u = y & ((1 << bits_n) - 1)
+            i = (y >> bits_n) & ((1 << bits_m) - 1)
+            j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
+            k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
+            z = k.astype(jnp.float32) / jnp.float32(label_denom)
+            return u, i, j, z
+
+        gather_args = (full_packed, count)
+    elif pack_mode == "uij":
+        def gather_run(tr_packed, tr_z, cnt, kperm):
+            rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
+            y = tr_packed[rows_sel].reshape(shape)
+            u = y & ((1 << bits_n) - 1)
+            i = (y >> bits_n) & ((1 << bits_m) - 1)
+            j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
+            return u, i, j, tr_z[rows_sel].reshape(shape)
+
+        gather_args = (uij_packed, train.z, count)
+    else:
+        def gather_run(tr_u, tr_i, tr_j, tr_z, cnt, kperm):
+            rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
+            return (
+                tr_u[rows_sel].reshape(shape),
+                tr_i[rows_sel].reshape(shape),
+                tr_j[rows_sel].reshape(shape),
+                tr_z[rows_sel].reshape(shape),
+            )
+
+        gather_args = (train.u, train.i, train.j, train.z, count)
 
     def epoch_step(carry, epoch_idx):
         state = carry
         keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch_idx))(
             epochs_keys)
-        pu, pi, pj, z = jax.vmap(gather_run)(
-            train.u, train.i, train.j, train.z, count, keys)
+        pu, pi, pj, z = jax.vmap(gather_run)(*gather_args, keys)
 
         step0 = epoch_idx.astype(jnp.float32) * nonempty_batches
         state, train_loss = pallas_train_epoch(

@@ -97,3 +97,55 @@ def test_pallas_epoch_matches_with_shortfall_masking():
         np.testing.assert_allclose(
             np.asarray(got_params.U[ri]), np.asarray(ref_params.U),
             rtol=2e-3, atol=1e-4)
+
+
+def test_pack_spec_modes():
+    from mfcd_tpu.train.pallas_trainer import _pack_spec
+
+    # n=m=1000, hard labels: 10+20+1 = 31 bits -> one-gather fast path.
+    assert _pack_spec(1000, 1000, 1)[0] == "full"
+    # soft K=10: 10+20+4 = 34 bits -> packed (u,i,j) + separate z.
+    assert _pack_spec(1000, 1000, 10)[0] == "uij"
+    # huge shapes: no packing.
+    assert _pack_spec(100_000, 100_000, 1)[0] == "none"
+    # bit widths cover the value ranges (full mode at a small shape)
+    mode, bn, bm, bz = _pack_spec(100, 100, 50)
+    assert mode == "full"
+    assert (1 << bn) > 99 and (1 << bm) > 99 and (1 << bz) > 50
+
+
+def test_pallas_matches_jnp_soft_labels_packed():
+    """Soft labels (z = k/K) through the packed-gather path must match the
+    jnp trainer bit-for-bit in the unpacked values (label_denom carries
+    the rational denominator)."""
+    K = 4
+    kx = jax.random.key(5)
+    x = jax.random.normal(kx, (N, M))
+    kk = jax.random.key(6)
+    k1, k2, k3, k4, k5 = jax.random.split(kk, 5)
+    params = init_params(k1, N, M, D)
+    u = jax.random.randint(k2, (ROWS,), 0, N).astype(jnp.int32)
+    i = jax.random.randint(k3, (ROWS,), 0, M).astype(jnp.int32)
+    j = jax.random.randint(k4, (ROWS,), 0, M).astype(jnp.int32)
+    j = jnp.where(j == i, (j + 1) % M, j)
+    votes = jax.random.bernoulli(
+        k5, jax.nn.sigmoid(x[u, i] - x[u, j])[:, None], (ROWS, K))
+    z = jnp.mean(votes.astype(jnp.float32), axis=1)  # k/K rationals
+    train = LabeledSplit(u, i, j, z, jnp.ones(ROWS, bool), jnp.int32(ROWS))
+    val = _split(jax.random.key(7), x, VROWS)
+    ekey = jax.random.key(8)
+
+    ref = train_model(params, train, val, ekey, 1e-2, 1e-3,
+                      batch_size=BS, num_epochs=EPOCHS)
+    stack1 = lambda t: jax.tree.map(lambda a: a[None], t)
+    got = train_runs_pallas(
+        stack1(params), stack1(train), stack1(val), ekey[None],
+        jnp.asarray([1e-2], jnp.float32), jnp.asarray([1e-3], jnp.float32),
+        batch_size=BS, num_epochs=EPOCHS, label_denom=K, interpret=True,
+    )
+    got_params, got_tl, got_vl = got
+    np.testing.assert_allclose(
+        np.asarray(got_tl[0]), np.asarray(ref[1]), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_params.U[0]), np.asarray(ref[0].U),
+        rtol=2e-3, atol=1e-4)
