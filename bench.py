@@ -56,12 +56,12 @@ def bench_sweep():
     }))
 
 
-def bench_k10():
-    """--k10: the reference's heavy cell-5 configuration (K=10 hard labels,
+def time_k10():
+    """Time the reference's heavy cell-5 configuration (K=10 hard labels,
     ~1M padded train rows) on the Pallas path vs the jnp fallback — the
-    round-1 gate excluded exactly this shape."""
-    import numpy as np
+    hot loop ``structure.py:845-852`` at its most demanding shape.
 
+    Returns (runs_per_hour_pallas, speedup_vs_jnp)."""
     from mfcd_tpu.core.config import RunConfig
     from mfcd_tpu.sweep.batched import run_bucket
 
@@ -74,15 +74,20 @@ def bench_k10():
         t0 = time.time()
         out = run_bucket(cfg, rows, [0], seed=321, use_pallas=use_pallas)
         timings[use_pallas] = (time.time() - t0) / cfg.reps
-        log(f"use_pallas={use_pallas}: {timings[use_pallas]:.2f}s/run "
-            f"acc={np.round(out[0]['accuracy'], 4)}")
-    runs_per_hour = 3600.0 / timings[True]
+        log(f"K=10 use_pallas={use_pallas}: {timings[use_pallas]:.2f}s/run "
+            f"acc={[round(float(a), 3) for a in out[0]['accuracy']]}")
+    return 3600.0 / timings[True], timings[False] / timings[True]
+
+
+def bench_k10():
+    """--k10: the K=10 Pallas-vs-jnp timing as its own headline metric."""
+    runs_per_hour, speedup = time_k10()
     print(json.dumps({
         "metric": "k10_full_training_runs_per_hour_per_chip_pallas",
         "value": round(runs_per_hour, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour / 125.0, 3),
-        "pallas_speedup_vs_jnp": round(timings[False] / timings[True], 2),
+        "pallas_speedup_vs_jnp": round(speedup, 2),
     }))
 
 
@@ -167,25 +172,9 @@ def main():
         # ``structure.py:845-852``) in the same single JSON line: the K=1
         # headline doesn't exercise it (VERDICT r2 item 7).
         try:
-            import dataclasses
-
-            k10 = dataclasses.replace(cfg, K=10, reps=2)
-            k10_rows = [{"s": 5.0, "lr": 1e-3, "weight_decay": 5e-6}]
-            timings = {}
-            for use_pallas in (True, False):
-                run_bucket(k10, k10_rows, [0], seed=123,
-                           use_pallas=use_pallas)  # compile
-                t0 = time.time()
-                k10_out = run_bucket(k10, k10_rows, [0], seed=321,
-                                     use_pallas=use_pallas)
-                timings[use_pallas] = (time.time() - t0) / k10.reps
-                log(f"K=10 use_pallas={use_pallas}: "
-                    f"{timings[use_pallas]:.2f}s/run "
-                    f"acc={[round(a, 3) for a in k10_out[0]['accuracy']]}")
-            payload["k10_pallas_runs_per_hour"] = round(
-                3600.0 / timings[True], 1)
-            payload["k10_pallas_speedup_vs_jnp"] = round(
-                timings[False] / timings[True], 2)
+            runs_per_hour_k10, speedup = time_k10()
+            payload["k10_pallas_runs_per_hour"] = round(runs_per_hour_k10, 1)
+            payload["k10_pallas_speedup_vs_jnp"] = round(speedup, 2)
         except Exception as e:  # noqa: BLE001 — keep the headline metric
             log(f"K=10 pallas timing failed (headline unaffected): {e}")
 

@@ -382,18 +382,13 @@ def main(argv=None):
         for name, fn in sorted(ALL.items()):
             print(f"{name:24s} {fn.__doc__.splitlines()[0]}")
         return 0
-    # Touch the backend with a trivial op before any sweep work: on the
-    # axon tunnel, processes whose first device op happens early and
-    # simply have been observed to dispatch reliably, while a first op
-    # issued later from inside the sweep machinery can hit a spurious
-    # FAILED_PRECONDITION (round-2 outage diagnosis).  Failing loudly here
-    # also separates "backend down" from "sweep bug" in the logs.
-    import jax
-    import jax.numpy as jnp
-
-    jnp.zeros(1).block_until_ready()
-    # Self-heal a poisoned persistent compile cache (stale executables from
-    # a restarted TPU worker) before committing to a long sweep.
+    # First device op = the cache-health canary: it touches the backend
+    # early (on the axon tunnel, processes whose first op happens early
+    # dispatch reliably — round-2 outage diagnosis) AND self-heals a
+    # poisoned persistent compile cache before committing to a long sweep.
+    # NB it must run BEFORE any other device op: with min-compile-time-0
+    # caching even `jnp.zeros(1)` is served from the (possibly poisoned)
+    # persistent cache and would crash ahead of the self-heal.
     from mfcd_tpu.cache import ensure_cache_healthy
 
     ensure_cache_healthy()

@@ -41,8 +41,20 @@ DEFAULT_BATCH_SIZE = 64
 
 
 def _next_pow2(x: int) -> int:
-    """Smallest power of two >= x (1 for x <= 1)."""
+    """Smallest power of two >= x (1 for x <= 1).
+
+    Single source of truth for every capacity/padding bucket boundary
+    (``sampling.dedup`` and the engine import it from here)."""
     return 1 << max(int(x) - 1, 0).bit_length()
+
+
+# Strategies whose proposal distributions have *static* parameters derived
+# from the exact triplet budget (svd: the truncated rank; user_similarity:
+# neighbor count and top-set size, reference ``generation_data.py:144,
+# 278-280``).  Capping their capacities would silently change those
+# parameters — and therefore the sampling distribution — so they always
+# compile at exact capacity.
+UNCAPPED_STRATEGIES = ("svd", "user_similarity")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,7 +113,7 @@ class RunConfig:
         traced scalar) — configs differing only in sparsity share programs.
         """
         sh = self.shapes()
-        if capped:
+        if capped and self.strategy not in UNCAPPED_STRATEGIES:
             t_key = (
                 _next_pow2(sh.num_triplets),
                 _next_pow2(sh.extra_test_triplets)

@@ -27,6 +27,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+# Shared capacity/padding bucket helper (re-exported for existing
+# importers: the engine and batched sweep pull it from here).
+from mfcd_tpu.core.config import _next_pow2  # noqa: F401
+
 # Sentinel pushing invalid rows past every real (u, i, j) in the sort.
 # Plain int (not a jnp scalar): creating a device array at import time
 # would initialize the XLA backend, which breaks jax.distributed.initialize
@@ -45,8 +49,6 @@ class TripletSet(NamedTuple):
         return jnp.arange(self.triplets.shape[0]) < self.count
 
 
-def _next_pow2(x: int) -> int:
-    return 1 << max(int(x) - 1, 0).bit_length()
 
 
 def select_unique(

@@ -219,8 +219,10 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
     if budget is None:
         rank_mask = jnp.ones((rank,), jnp.float32)
     else:
-        rank_exact = jnp.floor(
-            budget / (n * m) * max(n, m)).astype(jnp.int32)
+        # Integer arithmetic: T/(n*m)*max(n,m) == T/min(n,m) exactly, and
+        # f32 rounding floors one short of the reference at exact-integer
+        # boundaries (e.g. T=251000, n=m=1000: f32 gives 250, ref 251).
+        rank_exact = jnp.asarray(budget, jnp.int32) // min(n, m)
         rank_exact = jnp.clip(rank_exact, 1, rank)
         rank_mask = (jnp.arange(rank) < rank_exact).astype(jnp.float32)
     u_proj = u_full[:, :rank] * (s[:rank] * rank_mask)[None, :]

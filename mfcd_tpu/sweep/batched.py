@@ -150,18 +150,33 @@ def run_bucket(
             if is_fp:
                 # Axon-tunnel worker restarts surface as bare
                 # FAILED_PRECONDITION "TPU backend error" at the host
-                # transfer (observed killing a sweep at config 64/252);
-                # retryable — but a poisoned persistent compile cache
-                # produces the SAME status deterministically, so cap these
-                # at 2 retries instead of burning the full backoff budget
-                # before surfacing the actionable cache hint (ADVICE r2).
+                # transfer (observed killing a sweep at config 64/252) —
+                # retryable over the full multi-minute backoff budget.
+                # But a poisoned persistent compile cache produces the
+                # SAME status deterministically, so after the second hit
+                # run the canary/fresh-compile differential inline: it
+                # purges a poisoned cache (making the next retry succeed)
+                # and is a no-op when the backend is merely restarting
+                # (ADVICE r2 + review r3).
                 fp_attempts += 1
+                if fp_attempts == 2:
+                    from mfcd_tpu.cache import ensure_cache_healthy
+
+                    try:
+                        if not ensure_cache_healthy():
+                            print("⚠️ purged poisoned compile cache; "
+                                  "retrying", file=sys.stderr)
+                    except Exception as probe_err:  # noqa: BLE001
+                        # Backend down (fresh compile failed too) — keep
+                        # backing off through the remaining attempts.
+                        print(f"⚠️ backend still down during cache "
+                              f"probe: {str(probe_err)[:80]}",
+                              file=sys.stderr)
             transient = any(tok in msg for tok in
                             ("remote_compile", "UNAVAILABLE",
                              "DEADLINE_EXCEEDED",
                              "worker process crashed")) or is_fp
-            if (not transient or attempt == attempts - 1
-                    or (is_fp and fp_attempts > 2)):
+            if not transient or attempt == attempts - 1:
                 if "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg:
                     print(
                         "⚠️ persistent FAILED_PRECONDITION: if a bare "
@@ -212,6 +227,7 @@ def default_max_bucket(cfg: RunConfig, t_cap: Optional[int] = None) -> int:
     budget stays under the observed OOM thresholds (K=1: ~320 runs
     crashed, 120 fine; margin at 108 runs RESOURCE_EXHAUSTED).
     """
+    from mfcd_tpu.core.config import TRAIN_RATIO
     from mfcd_tpu.eval.metrics import _RANK_CUBE_ELEMS
     from mfcd_tpu.sampling.dedup import _next_pow2
     from mfcd_tpu.sampling.strategies import plan_overdraw
@@ -219,9 +235,12 @@ def default_max_bucket(cfg: RunConfig, t_cap: Optional[int] = None) -> int:
 
     sh = cfg.shapes()
     t = sh.num_triplets if t_cap is None else t_cap
-    train_rows = int(0.8 * t) * (1 if cfg.soft_label else cfg.K)
-    # val + test rows at capacity (always hard-labeled, so x K).
-    eval_raw = (t - int(0.8 * t)) * cfg.K + sh.extra_test_triplets * cfg.K
+    train_rows = int(TRAIN_RATIO * t) * (1 if cfg.soft_label else cfg.K)
+    # val + test rows at capacity (always hard-labeled, so x K); the
+    # 500-label top-up keeps its exact size (it is never capacity-padded
+    # beyond a pow-2 bucket of the same magnitude).
+    eval_raw = (t - int(TRAIN_RATIO * t)) * cfg.K \
+        + sh.extra_test_triplets * cfg.K
     rows_pad = _next_pow2(max(train_rows, 1))
     m_draw = plan_overdraw(
         cfg.strategy, t, cfg.n, cfg.m,

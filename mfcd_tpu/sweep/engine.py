@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfcd_tpu.core import rng
-from mfcd_tpu.core.config import TRAIN_RATIO, RunConfig, SweepSpec
+from mfcd_tpu.core.config import (
+    TRAIN_RATIO,
+    UNCAPPED_STRATEGIES,
+    RunConfig,
+    SweepSpec,
+)
 from mfcd_tpu.core.results import export_results
 from mfcd_tpu.data.btl import (
     LabeledSplit,
@@ -77,8 +82,15 @@ def compile_caps(cfg: RunConfig) -> tuple:
     (VERDICT r2 item 2; replaces the sequential loop the reference runs at
     ``structure.py:160-171``).  Runtime cost is near-zero: the trainer's
     batch trip counts are dynamic in the valid count.
+
+    ``svd`` and ``user_similarity`` always get exact capacities
+    (``UNCAPPED_STRATEGIES``): their samplers derive *static* distribution
+    parameters (projection rank; neighbor/top-set sizes) from the budget,
+    which capping would silently shift away from the reference's.
     """
     sh = cfg.shapes()
+    if cfg.strategy in UNCAPPED_STRATEGIES:
+        return sh.num_triplets, sh.extra_test_triplets
     t_cap = _next_pow2(sh.num_triplets)
     extra_cap = (
         _next_pow2(sh.extra_test_triplets)
@@ -110,12 +122,21 @@ def _sample_rep(rep_key, sk: SampleStatics, budget, extra_budget):
 
 
 @partial(jax.jit, static_argnames=("sk",))
-def _sample_bucket(sk: SampleStatics, rep_keys2d, budgets, extra_budgets):
+def _sample_bucket(sk: SampleStatics, rep_keys2d, budgets=None,
+                   extra_budgets=None):
     """Stage 1a: X generation + triplet sampling/splitting for [B, R] runs.
 
     Compile key: ``sk`` only — shared across K, soft_label, epochs, and
-    (through capacity bucketing) sparsity values.
+    (through capacity bucketing) sparsity values.  ``budgets`` /
+    ``extra_budgets`` are the per-config traced exact targets; ``None``
+    compiles the fully static exact-capacity program (used when every
+    budget equals its capacity — identical semantics, simpler program).
     """
+    if budgets is None:
+        return jax.vmap(
+            lambda krow: jax.vmap(
+                lambda k: _sample_rep(k, sk, None, None))(krow)
+        )(rep_keys2d)
     return jax.vmap(
         lambda krow, b_i, eb_i: jax.vmap(
             lambda k: _sample_rep(k, sk, b_i, eb_i))(krow)
@@ -245,6 +266,13 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
         budgets = np.full((b,), sh.num_triplets, np.int32)
     if extra_budgets is None:
         extra_budgets = np.full((b,), sh.extra_test_triplets, np.int32)
+    # When every budget equals its capacity the traced scalars are dead
+    # weight — compile the fully static program instead (also keeps
+    # budget-derived traced numerics like the svd rank mask out of
+    # uncapped strategies entirely).
+    if (np.all(np.asarray(budgets) == t_cap)
+            and np.all(np.asarray(extra_budgets) == extra_cap)):
+        budgets = extra_budgets = None
 
     sk = SampleStatics(
         n=cfg.n, m=cfg.m, d=cfg.d, t_cap=t_cap, extra_cap=extra_cap,

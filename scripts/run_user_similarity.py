@@ -26,9 +26,9 @@ def main(argv=None):
     ap.add_argument("--scale", type=float, default=1.0)
     args = ap.parse_args(argv)
 
-    import jax.numpy as jnp
-
-    jnp.zeros(1).block_until_ready()
+    # The cache-health canary must be the FIRST device op: even trivial
+    # ops are served from the persistent cache (min-compile-time 0), so a
+    # poisoned cache would crash any earlier warm-up dispatch.
     from mfcd_tpu.cache import ensure_cache_healthy
 
     ensure_cache_healthy()

@@ -112,3 +112,54 @@ def test_budget_traced_strategies_padded_run(strategy):
                num_epochs=2, reps=1)
     res = run_config(cfg, pad_compiles=True)
     assert np.all(np.isfinite(np.asarray(res["accuracy"])))
+
+
+def test_uncapped_strategies_keep_exact_capacity():
+    """svd / user_similarity derive STATIC distribution parameters from
+    the exact budget (projection rank; neighbor/top-set sizes, reference
+    ``generation_data.py:144, 278-280``); capping would silently shift
+    those away from the reference's, so compile_caps must leave them at
+    exact capacity — and padded runs must equal unpadded runs exactly."""
+    for strategy in ("svd", "user_similarity"):
+        cfg = _cfg(p=0.2, K=1, soft_label=False, strategy=strategy,
+                   num_epochs=2, reps=1)
+        sh = cfg.shapes()
+        assert compile_caps(cfg) == (sh.num_triplets,
+                                     sh.extra_test_triplets)
+        # Capped and exact signatures coincide for these strategies.
+        assert (cfg.shape_signature(capped=True)
+                == cfg.shape_signature(capped=False))
+    # pad on/off are the same program for an uncapped strategy.
+    cfg = _cfg(p=0.2, K=1, soft_label=False, strategy="svd",
+               num_epochs=2, reps=1)
+    r_pad = run_config(cfg, pad_compiles=True)
+    r_exact = run_config(cfg, pad_compiles=False)
+    for k in r_pad:
+        np.testing.assert_array_equal(
+            np.asarray(r_pad[k]), np.asarray(r_exact[k]), err_msg=k)
+
+
+def test_svd_traced_rank_integer_exact():
+    """The traced svd rank must use integer arithmetic: f32 floors one
+    short at exact-integer boundaries (T=251000, n=m=1000: f32 250,
+    reference 251)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfcd_tpu.sampling.strategies import propose_svd, svd_rank
+
+    n = m = 80
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, m)),
+                    jnp.float32)
+    # budget chosen so budget/min(n,m) is an exact integer
+    budget = 40 * min(n, m)
+    ref_rank = svd_rank(budget, n, m)
+    assert budget // min(n, m) == ref_rank == 40
+    # masked proposal with traced budget must keep all ref_rank components:
+    # compare against the static-rank proposal on the same key.
+    key = jax.random.key(1)
+    c1, v1 = propose_svd(key, x, 500, num_triplets=budget)
+    c2, v2 = propose_svd(key, x, 500, num_triplets=budget,
+                         budget=jnp.int32(budget))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
