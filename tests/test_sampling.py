@@ -264,3 +264,17 @@ def test_estimate_k():
         k = estimate_k(t)
         assert k * (k - 1) / 2 >= t
         assert (k - 1) * (k - 2) / 2 < t
+
+
+def test_traced_budget_equals_static_at_capacity():
+    """The traced-budget program with budget == capacity must reproduce
+    the static program bit-for-bit (the invariant guarding the capacity-
+    bucketing plumbing: `budget` only caps counts, never shifts draws)."""
+    t = 400
+    for strategy in ("random", "margin", "popularity"):
+        a = sample_triplets(KEY, X, t, strategy=strategy)
+        b = sample_triplets(KEY, X, t, strategy=strategy,
+                            budget=jnp.int32(t))
+        assert int(a.count) == int(b.count)
+        np.testing.assert_array_equal(
+            np.asarray(a.triplets), np.asarray(b.triplets), err_msg=strategy)
