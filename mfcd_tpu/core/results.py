@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import jax
 import numpy as np
 
 # The 22 result keys, reference order (``structure.py:420-444``).
@@ -72,7 +73,11 @@ def export_results(device_results: Dict[str, Any]) -> Dict[str, Any]:
     numpy arrays (``list[np.ndarray (2, m)]``), matching
     ``structure.py:391-392``.
     """
-    host = {k: np.asarray(v) for k, v in device_results.items()}
+    # device_get issues async host copies for all leaves before blocking,
+    # so device-resident inputs pay one transport round-trip, not ~25;
+    # it passes numpy inputs through untouched.
+    host = jax.device_get(dict(device_results))
+    host = {k: np.asarray(v) for k, v in host.items()}
     reps = host["accuracy"].shape[0]
     out: Dict[str, Any] = {}
 
