@@ -24,6 +24,7 @@ uniform permutation — statistically indistinguishable for SGD shuffling.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -84,3 +85,129 @@ def epoch_permutation(
         count_u, jnp.uint32(1))
     x = jnp.where(x < count_u, x, fallback)
     return x.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Carried epoch streams — periodic reshuffle + cheap prefix-preserving mixing
+# ---------------------------------------------------------------------------
+#
+# A fresh PRP gather per epoch costs one full element gather of the row
+# stream, and TPU 1D gathers are latency-bound per *index*: at the bench
+# shape ([8, 131072] int32) an element gather runs 1155 us/epoch-run while a
+# 128-wide tile gather, a prefix rotation (2 doubled-array dynamic slices),
+# and conditional rolls each cost 113-131 us (scripts/profile_tilegather.py).
+#
+# So the trainers carry the *already shuffled* row stream across epochs and
+# advance it each epoch with a bijection on the valid prefix [0, count):
+#
+# - every ``period``-th epoch: a fresh full PRP element gather (exactly the
+#   classic reshuffle; ``epoch_permutation`` maps every slot into
+#   [0, count), so padding garbage never enters the prefix),
+# - intermediate epochs: a prefix rotation by a random rho mod count
+#   composed with a PRP permutation of the *full* 128-wide tiles (the
+#   partial boundary tile and all padding tiles stay fixed, keeping valid
+#   rows compacted at the front for the kernels' ``slots < count`` masks).
+#
+# Every training row still appears exactly once per epoch (each step is a
+# bijection on the prefix).  Batch composition is fully re-randomized every
+# ``period`` epochs and tile/offset-scrambled in between — the reshuffle
+# cadence of windowed production data loaders rather than torch's
+# every-epoch uniform draw; distribution-level parity is pinned by the
+# statistical suite (tests/test_reference_parity.py) either way, since even
+# the every-epoch path realizes a different permutation than torch's.
+
+def default_reshuffle_period() -> int:
+    """Epoch period of full PRP reshuffles (``MFCD_RESHUFFLE_PERIOD``).
+
+    1 = fresh PRP every epoch (classic behavior).  Read at trace time, so
+    set it before the first trainer call in a process.
+    """
+    return max(1, int(os.environ.get("MFCD_RESHUFFLE_PERIOD", "4")))
+
+
+def stream_tile_width(batch_size: int) -> int | None:
+    """Tile width for the cheap mixing epochs.
+
+    Derived from ``batch_size`` ONLY (its largest power-of-two divisor,
+    capped at 128) so it always divides the padded stream length AND is
+    independent of how far the arrays were padded — the valid prefix of a
+    mixed stream must be a function of (count, keys) alone, never of the
+    capacity bucket, or padding would change results
+    (tests/test_trainer.py::test_masked_rows_do_not_train, capacity
+    bucketing's pad-invariance).  Widths below 8 don't pay for a tile
+    pass; return None (rotation-only cheap epochs).
+    """
+    w = 1
+    while batch_size % (w * 2) == 0 and w < 128:
+        w *= 2
+    return w if w >= 8 else None
+
+
+def _rotate_prefix(x: jax.Array, rho, count):
+    """Cyclically rotate the valid prefix ``x[:count]`` left by ``rho``.
+
+    Implemented as two dynamic slices of the doubled array (no gather).
+    Slots >= count receive in-bounds garbage; callers mask by slot index.
+    """
+    s_len = x.shape[0]
+    d = jnp.concatenate([x, x])
+    a = jax.lax.dynamic_slice(d, (rho,), (s_len,))
+    b = jax.lax.dynamic_slice(d, (s_len + rho - count,), (s_len,))
+    s = jnp.arange(s_len, dtype=jnp.int32)
+    return jnp.where(s < count - rho, a, b)
+
+
+def _permute_full_tiles(x: jax.Array, key: jax.Array, count,
+                        tile_w: int, t_bits: int):
+    """PRP-permute the fully-valid tiles of ``x`` (tile-granularity gather).
+
+    Tiles wholly inside [0, count) are permuted among themselves; the
+    partial boundary tile and padding tiles keep their positions, so the
+    valid prefix stays compacted.  ``t_bits`` comes from the row-domain
+    ``k_bits`` (not the padded tile count) for pad-invariance.
+    """
+    tiles = x.shape[0] // tile_w
+    full = count // tile_w
+    t_slots = jnp.arange(tiles, dtype=jnp.int32)
+    prp = epoch_permutation(key, t_slots, jnp.maximum(full, 1), t_bits)
+    idx = jnp.where(t_slots < full, prp, t_slots)
+    return x.reshape(tiles, tile_w)[idx].reshape(x.shape)
+
+
+def mix_stream(arrays, key: jax.Array, epoch_idx, count, k_bits: int,
+               *, period: int, tile_w: int | None):
+    """Advance a carried epoch stream by one epoch's bijection.
+
+    ``arrays`` is a tuple of [S] row arrays sharing one layout (the same
+    movement is applied to each); valid rows occupy the prefix
+    [0, count).  Returns the mixed tuple.  ``period`` and ``tile_w`` are
+    static; ``epoch_idx`` and ``count`` may be traced.
+
+    Pad-invariance: for fixed (count, k_bits, tile_w, key), the prefix of
+    the result is independent of the arrays' padded length — padding a
+    stream further never changes which row lands in which batch slot.
+    """
+    k_prp, k_rho, k_tile = jax.random.split(key, 3)
+    s_len = arrays[0].shape[0]
+
+    def prp_epoch(arrs):
+        slots = jnp.arange(s_len, dtype=jnp.int32)
+        sel = epoch_permutation(k_prp, slots, count, k_bits)
+        return tuple(a[sel] for a in arrs)
+
+    if period == 1:
+        return prp_epoch(arrays)
+
+    def cheap_epoch(arrs):
+        rho = (jax.random.bits(k_rho, (), jnp.uint32)
+               % jnp.uint32(jnp.maximum(count, 1))).astype(jnp.int32)
+        out = tuple(_rotate_prefix(a, rho, count) for a in arrs)
+        if tile_w is not None:
+            t_bits = max(k_bits - tile_w.bit_length() + 1, 1)
+            out = tuple(
+                _permute_full_tiles(a, k_tile, count, tile_w, t_bits)
+                for a in out)
+        return out
+
+    return jax.lax.cond(
+        epoch_idx % period == 0, prp_epoch, cheap_epoch, tuple(arrays))

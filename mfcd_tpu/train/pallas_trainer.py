@@ -9,9 +9,11 @@ counts, same batch means, same coupled-wd Adam — verified by equivalence
 tests (interpret mode on CPU).
 
 Epoch flow (inside one ``lax.scan`` over epochs):
-  1. per-run sort-free shuffle (``mfcd_tpu.ops.shuffle``) of the valid
-     training rows onto sequential batch slots,
-  2. gather the permuted (u, i, j, z) into [R, B, bs] batch tensors,
+  1. advance the carried (packed) row stream by one epoch's bijection
+     (``mfcd_tpu.ops.shuffle.mix_stream``): a fresh PRP element gather
+     every ``reshuffle_period``-th epoch, cheap prefix rotation +
+     full-tile permutation in between (~8x less gather latency),
+  2. unpack the stream into [R, B, bs] batch tensors,
   3. one ``pallas_train_epoch`` call trains every run's epoch on-chip,
      executing only the ceil(count/bs) batches that hold valid rows,
   4. a vectorized masked validation pass records the per-epoch val loss.
@@ -28,7 +30,8 @@ import jax.numpy as jnp
 from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams
 from mfcd_tpu.ops.kernels import EpochState, pallas_train_epoch
-from mfcd_tpu.ops.shuffle import epoch_permutation
+from mfcd_tpu.ops.shuffle import (default_reshuffle_period, mix_stream,
+                                  stream_tile_width)
 from mfcd_tpu.train.trainer import batch_losses
 
 
@@ -61,7 +64,8 @@ def _pack_spec(n: int, m: int, label_denom: int):
 
 @partial(
     jax.jit,
-    static_argnames=("batch_size", "num_epochs", "label_denom", "interpret"),
+    static_argnames=("batch_size", "num_epochs", "label_denom", "interpret",
+                     "reshuffle_period"),
 )
 def train_runs_pallas(
     params: MFParams,          # U [R, n, d], V [R, m, d]
@@ -74,12 +78,14 @@ def train_runs_pallas(
     num_epochs: int = 30,
     label_denom: int = 1,
     interpret: bool = False,
+    reshuffle_period: int | None = None,
 ) -> Tuple[MFParams, jax.Array, jax.Array]:
     """Train R runs; returns (params, train_losses [R,E], val_losses [R,E]).
 
     ``label_denom`` is the denominator of the training labels' rational
     values (K under soft labels, else 1); it enables the packed-gather
     fast path (``_pack_spec``) and must make ``z * label_denom`` integral.
+    ``reshuffle_period`` follows :func:`mfcd_tpu.train.trainer.train_model`.
     """
     r, n, d = params.U.shape
     m = params.V.shape[1]
@@ -87,6 +93,8 @@ def train_runs_pallas(
     num_batches = -(-rows // batch_size)
     padded = num_batches * batch_size
     k_bits = max(rows - 1, 1).bit_length()
+    period = reshuffle_period or default_reshuffle_period()
+    tile_w = stream_tile_width(batch_size)
 
     state = EpochState(
         u_t=jnp.swapaxes(params.U, 1, 2),
@@ -102,10 +110,10 @@ def train_runs_pallas(
         count.astype(jnp.float32) / batch_size)                # [R]
     lr = lr.astype(jnp.float32)
     wd = weight_decay.astype(jnp.float32)
-    slots = jnp.arange(padded, dtype=jnp.int32)
 
     pack_mode, bits_n, bits_m, bits_z = _pack_spec(n, m, label_denom)
-    shape = (num_batches, batch_size)
+    rshape = (r, num_batches, batch_size)
+    pad2 = lambda a: jnp.pad(a, ((0, 0), (0, padded - rows)))
     if pack_mode != "none":
         uij_packed = (
             train.u
@@ -114,46 +122,44 @@ def train_runs_pallas(
         )
     if pack_mode == "full":
         z_num = jnp.round(train.z * float(label_denom)).astype(jnp.int32)
-        full_packed = uij_packed | (z_num << (bits_n + 2 * bits_m))
+        stream0 = (pad2(uij_packed | (z_num << (bits_n + 2 * bits_m))),)
 
-        def gather_run(tr_packed, cnt, kperm):
-            rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
-            y = tr_packed[rows_sel].reshape(shape)
+        def unpack(stream):
+            y = stream[0].reshape(rshape)
             u = y & ((1 << bits_n) - 1)
             i = (y >> bits_n) & ((1 << bits_m) - 1)
             j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
             k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
             z = k.astype(jnp.float32) / jnp.float32(label_denom)
             return u, i, j, z
-
-        gather_args = (full_packed, count)
     elif pack_mode == "uij":
-        def gather_run(tr_packed, tr_z, cnt, kperm):
-            rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
-            y = tr_packed[rows_sel].reshape(shape)
+        stream0 = (pad2(uij_packed), pad2(train.z))
+
+        def unpack(stream):
+            y = stream[0].reshape(rshape)
             u = y & ((1 << bits_n) - 1)
             i = (y >> bits_n) & ((1 << bits_m) - 1)
             j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
-            return u, i, j, tr_z[rows_sel].reshape(shape)
-
-        gather_args = (uij_packed, train.z, count)
+            return u, i, j, stream[1].reshape(rshape)
     else:
-        def gather_run(tr_u, tr_i, tr_j, tr_z, cnt, kperm):
-            rows_sel = epoch_permutation(kperm, slots, cnt, k_bits)
-            return (
-                tr_u[rows_sel].reshape(shape),
-                tr_i[rows_sel].reshape(shape),
-                tr_j[rows_sel].reshape(shape),
-                tr_z[rows_sel].reshape(shape),
-            )
+        stream0 = (pad2(train.u), pad2(train.i), pad2(train.j),
+                   pad2(train.z))
 
-        gather_args = (train.u, train.i, train.j, train.z, count)
+        def unpack(stream):
+            return tuple(a.reshape(rshape) for a in stream)
 
     def epoch_step(carry, epoch_idx):
-        state = carry
+        state, stream = carry
         keys = jax.vmap(lambda k: jax.random.fold_in(k, epoch_idx))(
             epochs_keys)
-        pu, pi, pj, z = jax.vmap(gather_run)(*gather_args, keys)
+        # epoch_idx stays unbatched through the vmap, so mix_stream's
+        # reshuffle-vs-cheap-epoch branch remains a real lax.cond.
+        stream = jax.vmap(
+            lambda arrs, k, cnt: mix_stream(
+                arrs, k, epoch_idx, cnt, k_bits,
+                period=period, tile_w=tile_w)
+        )(stream, keys, count)
+        pu, pi, pj, z = unpack(stream)
 
         step0 = epoch_idx.astype(jnp.float32) * nonempty_batches
         state, train_loss = pallas_train_epoch(
@@ -173,10 +179,10 @@ def train_runs_pallas(
             )[1]
         )(epoch_params.U, epoch_params.V,
           val.u, val.i, val.j, val.z, val.valid)
-        return state, (train_loss, val_loss)
+        return (state, stream), (train_loss, val_loss)
 
-    state, (train_losses, val_losses) = jax.lax.scan(
-        epoch_step, state, jnp.arange(num_epochs)
+    (state, _), (train_losses, val_losses) = jax.lax.scan(
+        epoch_step, (state, stream0), jnp.arange(num_epochs)
     )
     final = MFParams(
         U=jnp.swapaxes(state.u_t, 1, 2),

@@ -8,9 +8,11 @@ eager loop per batch, the whole multi-epoch run here is one compiled XLA
 program — no host round-trips.
 
 TPU-native design choices:
-- the per-epoch shuffle is a keyed pseudorandom bijection walked onto the
-  valid prefix (``mfcd_tpu.ops.shuffle``) instead of an argsort — TPU sorts
-  at 1e5 elements cost minutes of *compile* time per shape,
+- the per-epoch shuffle carries the row stream across epochs and advances
+  it with keyed prefix-preserving bijections (``mfcd_tpu.ops.shuffle``:
+  periodic PRP reshuffle + cheap rotation/tile mixing) instead of an
+  argsort — TPU sorts at 1e5 elements cost minutes of *compile* time per
+  shape, and per-epoch element gathers dominate runtime,
 - the batch loop is a ``fori_loop`` whose trip count is the *dynamic*
   ``ceil(valid_count / batch_size)`` — padded rows cost nothing, so arrays
   can be padded to coarse shape buckets and one executable serves a whole
@@ -32,7 +34,8 @@ from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams, forward_logits
 from mfcd_tpu.ops.losses import bce_with_logits
 from mfcd_tpu.ops.optim import adam_init, adam_update
-from mfcd_tpu.ops.shuffle import epoch_permutation
+from mfcd_tpu.ops.shuffle import (default_reshuffle_period, mix_stream,
+                                  stream_tile_width)
 
 
 def _pad_to_batches(split: LabeledSplit, batch_size: int):
@@ -112,7 +115,8 @@ def batch_losses(params: MFParams, split: LabeledSplit, batch_size: int):
     return per_batch_mean, epoch_mean
 
 
-@partial(jax.jit, static_argnames=("batch_size", "num_epochs"))
+@partial(jax.jit,
+         static_argnames=("batch_size", "num_epochs", "reshuffle_period"))
 def train_model(
     params: MFParams,
     train: LabeledSplit,
@@ -122,10 +126,21 @@ def train_model(
     weight_decay,
     batch_size: int = 64,
     num_epochs: int = 30,
+    reshuffle_period: int | None = None,
 ) -> Tuple[MFParams, jax.Array, jax.Array]:
-    """Train and return ``(params, train_losses [E], val_losses [E])``."""
+    """Train and return ``(params, train_losses [E], val_losses [E])``.
+
+    ``reshuffle_period`` (default ``MFCD_RESHUFFLE_PERIOD``, 4): every
+    P-th epoch draws a fresh PRP shuffle of the carried row stream; the
+    epochs between apply cheap prefix-preserving mixing (rotation +
+    full-tile permutation) — see ``mfcd_tpu.ops.shuffle.mix_stream``.
+    """
     rows = train.u.shape[0]
     k_bits = max(rows - 1, 1).bit_length()  # 2^k >= rows
+    num_batches = -(-rows // batch_size)
+    padded = num_batches * batch_size
+    period = reshuffle_period or default_reshuffle_period()
+    tile_w = stream_tile_width(batch_size)
 
     count = train.count.astype(jnp.int32)
     num_exec = jnp.ceil(count.astype(jnp.float32) / batch_size).astype(
@@ -140,20 +155,24 @@ def train_model(
 
     grad_fn = jax.value_and_grad(loss_fn)
 
+    stream0 = tuple(
+        jnp.pad(a, (0, padded - rows))
+        for a in (train.u, train.i, train.j, train.z)
+    )
+
     def epoch_step(carry, epoch_idx):
-        p, opt = carry
+        p, opt, stream = carry
         kperm = jax.random.fold_in(epochs_key, epoch_idx)
+        stream = mix_stream(stream, kperm, epoch_idx, count, k_bits,
+                            period=period, tile_w=tile_w)
+        su, si, sj, sz = (
+            a.reshape(num_batches, batch_size) for a in stream)
 
         def batch_step(t, carry):
             p, opt, loss_sum = carry
             slots = t * batch_size + jnp.arange(batch_size)
-            rows_sel = epoch_permutation(kperm, slots, count, k_bits)
             mask = slots < count  # valid rows occupy [0, count)
-            bu = train.u[rows_sel]
-            bi = train.i[rows_sel]
-            bj = train.j[rows_sel]
-            bz = train.z[rows_sel]
-            loss, grads = grad_fn(p, bu, bi, bj, bz, mask)
+            loss, grads = grad_fn(p, su[t], si[t], sj[t], sz[t], mask)
             p, opt = adam_update(p, grads, opt, lr, weight_decay)
             return p, opt, loss_sum + loss
 
@@ -162,10 +181,10 @@ def train_model(
         )
         train_loss = loss_sum / jnp.maximum(num_exec, 1)
         _, val_loss = batch_losses(p, val, batch_size)
-        return (p, opt), (train_loss, val_loss)
+        return (p, opt, stream), (train_loss, val_loss)
 
     opt = adam_init(params)
-    (params, _), (train_losses, val_losses) = jax.lax.scan(
-        epoch_step, (params, opt), jnp.arange(num_epochs)
+    (params, _, _), (train_losses, val_losses) = jax.lax.scan(
+        epoch_step, (params, opt, stream0), jnp.arange(num_epochs)
     )
     return params, train_losses, val_losses

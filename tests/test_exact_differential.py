@@ -86,9 +86,14 @@ def test_trainer_matches_reference_exactly(reference):
     ref_V = model.V.detach().numpy()
 
     # --- ours: identity permutation via monkeypatch ---------------------
-    orig = trainer_mod.epoch_permutation
+    # reshuffle_period=1 makes every epoch a PRP epoch, and the PRP lives
+    # in mfcd_tpu.ops.shuffle; an identity stand-in keeps the carried
+    # stream in the original (loader) order for the whole run.
+    import mfcd_tpu.ops.shuffle as shuffle_mod
+
+    orig = shuffle_mod.epoch_permutation
     trainer_mod.train_model.clear_cache()
-    trainer_mod.epoch_permutation = (
+    shuffle_mod.epoch_permutation = (
         lambda kperm, slots, count, k_bits: jnp.minimum(slots, count - 1))
     try:
         def split(rows):
@@ -104,9 +109,9 @@ def test_trainer_matches_reference_exactly(reference):
         out_params, our_train, our_val = trainer_mod.train_model(
             params, split(train_rows), split(val_rows),
             jax.random.key(0), LR, WD,
-            batch_size=BATCH, num_epochs=EPOCHS)
+            batch_size=BATCH, num_epochs=EPOCHS, reshuffle_period=1)
     finally:
-        trainer_mod.epoch_permutation = orig
+        shuffle_mod.epoch_permutation = orig
         trainer_mod.train_model.clear_cache()
 
     our_train = np.asarray(our_train)

@@ -4,7 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mfcd_tpu.ops.shuffle import epoch_permutation
+from mfcd_tpu.ops.shuffle import (epoch_permutation, mix_stream,
+                                  stream_tile_width)
 
 
 def _perm(key, n_slots, count, k_bits):
@@ -57,3 +58,85 @@ def test_uniformity_chi_square():
     dof = count * (n_batches - 1)
     # Very loose bound: chi2/dof near 1 for uniform assignment.
     assert chi2 / dof < 1.8
+
+
+# ---------------------------------------------------------------------------
+# Carried epoch streams (mix_stream)
+# ---------------------------------------------------------------------------
+
+def _advance(stream, e, count, k_bits, period, tile_w, seed=42):
+    key = jax.random.fold_in(jax.random.key(seed), e)
+    return mix_stream(stream, key, jnp.int32(e), jnp.int32(count),
+                      k_bits, period=period, tile_w=tile_w)
+
+
+def test_mix_stream_prefix_bijective_across_epochs():
+    """Every epoch's stream holds each valid row exactly once in the
+    prefix; padding sentinels never leak in — across PRP and cheap
+    epochs of a period-4 schedule."""
+    s_len, count, k_bits = 1024, 900, 10
+    tile_w = stream_tile_width(s_len)
+    base = jnp.arange(s_len, dtype=jnp.int32)
+    stream = (jnp.where(base < count, base, -1),)
+    prev = None
+    for e in range(8):
+        stream = _advance(stream, e, count, k_bits, 4, tile_w)
+        prefix = np.asarray(stream[0])[:count]
+        assert sorted(prefix.tolist()) == list(range(count))
+        if prev is not None:
+            assert not np.array_equal(prefix, prev)  # every epoch moves
+        prev = prefix
+
+
+def test_mix_stream_moves_all_arrays_identically():
+    s_len, count, k_bits = 512, 450, 9
+    ids = jnp.arange(s_len, dtype=jnp.int32)
+    vals = ids.astype(jnp.float32) * 0.5
+    stream = (ids, vals)
+    for e in range(5):
+        stream = _advance(stream, e, count, k_bits, 3,
+                          stream_tile_width(s_len))
+        a, b = np.asarray(stream[0]), np.asarray(stream[1])
+        np.testing.assert_array_equal(a[:count].astype(np.float32) * 0.5,
+                                      b[:count])
+
+
+def test_mix_stream_period1_is_fresh_prp_each_epoch():
+    s_len, count, k_bits = 256, 200, 8
+    stream = (jnp.arange(s_len, dtype=jnp.int32),)
+    key = jax.random.fold_in(jax.random.key(7), 3)
+    out = mix_stream(stream, key, jnp.int32(3), jnp.int32(count),
+                     k_bits, period=1, tile_w=stream_tile_width(s_len))
+    k_prp = jax.random.split(key, 3)[0]
+    sel = epoch_permutation(k_prp, jnp.arange(s_len, dtype=jnp.int32),
+                            jnp.int32(count), k_bits)
+    np.testing.assert_array_equal(np.asarray(out[0]),
+                                  np.asarray(stream[0][sel]))
+
+
+def test_mix_stream_cheap_epoch_scrambles_batches():
+    """A cheap (non-PRP) epoch must still change batch composition:
+    rotation + tile permutation move most rows to a different batch."""
+    s_len, count, k_bits, bs = 1024, 1000, 10, 64
+    base = jnp.arange(s_len, dtype=jnp.int32)
+    stream = (base,)
+    out = _advance(stream, 1, count, k_bits, 4, stream_tile_width(s_len))
+    arr = np.asarray(out[0])[:count]
+    same_batch = np.mean((arr // bs) == (np.arange(count) // bs))
+    assert same_batch < 0.3
+
+
+def test_mix_stream_prefix_is_pad_invariant():
+    """Padding a stream further must not change which row lands where:
+    capacity bucketing and invalid-row masking both rely on it."""
+    count, k_bits, bs = 450, 9, 64
+    tile_w = stream_tile_width(bs)
+    for s_len in (512, 576, 1024):
+        stream = (jnp.arange(s_len, dtype=jnp.int32),)
+        for e in range(5):
+            stream = _advance(stream, e, count, k_bits, 4, tile_w)
+        prefix = np.asarray(stream[0])[:count]
+        if s_len == 512:
+            ref = prefix
+        else:
+            np.testing.assert_array_equal(prefix, ref)
