@@ -256,24 +256,40 @@ def split_triplets(
     val_sz = jnp.floor(val_ratio * count).astype(jnp.int32)
     test_sz = count - train_sz - val_sz
 
+    # Each big 1D scatter/cumsum costs ~1-2 ms at 1e5 rows on TPU, so the
+    # three per-split compactions share ONE rank cumsum and ONE scatter
+    # into a concatenated [train | val | test] buffer: a valid row's rank
+    # among valid rows (in permuted order) determines both its split and
+    # its offset within it.  Bit-identical to per-split compaction.
     rank = jnp.cumsum(perm_valid) - 1  # rank among valid, in permuted order
     in_train = perm_valid & (rank < train_sz)
     in_val = perm_valid & (rank >= train_sz) & (rank < train_sz + val_sz)
     in_test = perm_valid & (rank >= train_sz + val_sz)
+    total = train_cap + val_cap + test_cap
 
-    def gather_split(mask, cap):
-        pos = jnp.cumsum(mask) - 1
-        to = jnp.where(mask & (pos < cap), pos, cap)
-        return jnp.zeros((cap, 3), dtype=jnp.int32).at[to].set(
-            permuted, mode="drop"
-        )
+    pos = jnp.where(
+        in_train & (rank < train_cap),
+        rank,
+        jnp.where(
+            in_val & (rank - train_sz < val_cap),
+            train_cap + (rank - train_sz),
+            jnp.where(
+                in_test & (rank - train_sz - val_sz < test_cap),
+                train_cap + val_cap + (rank - train_sz - val_sz),
+                total,  # dropped
+            ),
+        ),
+    )
+    big = jnp.zeros((total, 3), dtype=jnp.int32).at[pos].set(
+        permuted, mode="drop"
+    )
 
     return SplitArrays(
-        train=gather_split(in_train, train_cap),
+        train=big[:train_cap],
         train_count=jnp.minimum(train_sz, train_cap),
-        val=gather_split(in_val, val_cap),
+        val=big[train_cap:train_cap + val_cap],
         val_count=jnp.minimum(val_sz, val_cap),
-        test=gather_split(in_test, test_cap),
+        test=big[train_cap + val_cap:],
         test_count=jnp.minimum(test_sz, test_cap),
     )
 
