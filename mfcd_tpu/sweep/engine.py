@@ -156,28 +156,34 @@ def _label_bucket(x, splits, streams, s, K: int, soft_label: bool):
     return jax.vmap(one_config)(x, splits, streams, s)
 
 
-@partial(jax.jit, static_argnames=("batch_size", "num_epochs"))
+@partial(jax.jit,
+         static_argnames=("batch_size", "num_epochs", "reshuffle_period"))
 def _train_bucket_jnp(params, train, val, ekeys, lr, wd,
-                      batch_size: int, num_epochs: int):
+                      batch_size: int, num_epochs: int,
+                      reshuffle_period: int):
     """Stage 2 (jnp scan trainer): [B, R] runs.
 
-    Compile key: only (row counts, n, m, d, batch_size, num_epochs) — the
-    same executable serves every strategy and generation scheme.
+    Compile key: only (row counts, n, m, d, batch_size, num_epochs,
+    reshuffle_period) — the same executable serves every strategy and
+    generation scheme.
     """
     def one_config(p_row, tr_row, va_row, ek_row, lr_i, wd_i):
         return jax.vmap(
             lambda p, tr, va, ek: train_model(
                 p, tr, va, ek, lr_i, wd_i,
-                batch_size=batch_size, num_epochs=num_epochs)
+                batch_size=batch_size, num_epochs=num_epochs,
+                reshuffle_period=reshuffle_period)
         )(p_row, tr_row, va_row, ek_row)
 
     return jax.vmap(one_config)(params, train, val, ekeys, lr, wd)
 
 
-@partial(jax.jit, static_argnames=("batch_size", "num_epochs", "label_denom"))
+@partial(jax.jit, static_argnames=("batch_size", "num_epochs", "label_denom",
+                                   "reshuffle_period"))
 def _train_bucket_pallas(params, train, val, ekeys, lr, wd,
                          batch_size: int, num_epochs: int,
-                         label_denom: int = 1):
+                         label_denom: int = 1,
+                         reshuffle_period: int = 4):
     """Stage 2 (Pallas fused-epoch trainer): flatten [B, R] -> [B*R] runs."""
     from mfcd_tpu.train.pallas_trainer import train_runs_pallas
 
@@ -189,7 +195,7 @@ def _train_bucket_pallas(params, train, val, ekeys, lr, wd,
         jnp.repeat(lr.astype(jnp.float32), r),
         jnp.repeat(wd.astype(jnp.float32), r),
         batch_size=batch_size, num_epochs=num_epochs,
-        label_denom=label_denom,
+        label_denom=label_denom, reshuffle_period=reshuffle_period,
     )
     unflat = lambda t: jax.tree.map(
         lambda a: a.reshape((b, r) + a.shape[1:]), t)
@@ -288,16 +294,23 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
     test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
 
+    # Resolved here — in plain Python, per call — so MFCD_RESHUFFLE_PERIOD
+    # is always part of the train stage's static compile key.
+    from mfcd_tpu.ops.shuffle import default_reshuffle_period
+
+    period = default_reshuffle_period()
     if use_pallas:
         params, tl, vl = _train_bucket_pallas(
             params, train, val, streams["epochs"], lr, weight_decay,
             batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
             label_denom=cfg.K if cfg.soft_label else 1,
+            reshuffle_period=period,
         )
     else:
         params, tl, vl = _train_bucket_jnp(
             params, train, val, streams["epochs"], lr, weight_decay,
             batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+            reshuffle_period=period,
         )
 
     return _metrics_bucket(

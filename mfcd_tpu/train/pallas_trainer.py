@@ -67,34 +67,29 @@ def _pack_spec(n: int, m: int, label_denom: int):
     static_argnames=("batch_size", "num_epochs", "label_denom", "interpret",
                      "reshuffle_period"),
 )
-def train_runs_pallas(
+def _train_runs_pallas(
     params: MFParams,          # U [R, n, d], V [R, m, d]
     train: LabeledSplit,       # fields [R, N]
     val: LabeledSplit,         # fields [R, Nv]
     epochs_keys: jax.Array,    # [R] PRNG keys
     lr: jax.Array,             # [R]
     weight_decay: jax.Array,   # [R]
-    batch_size: int = 64,
-    num_epochs: int = 30,
-    label_denom: int = 1,
-    interpret: bool = False,
-    reshuffle_period: int | None = None,
+    batch_size: int,
+    num_epochs: int,
+    label_denom: int,
+    interpret: bool,
+    reshuffle_period: int,
 ) -> Tuple[MFParams, jax.Array, jax.Array]:
-    """Train R runs; returns (params, train_losses [R,E], val_losses [R,E]).
-
-    ``label_denom`` is the denominator of the training labels' rational
-    values (K under soft labels, else 1); it enables the packed-gather
-    fast path (``_pack_spec``) and must make ``z * label_denom`` integral.
-    ``reshuffle_period`` follows :func:`mfcd_tpu.train.trainer.train_model`.
-    """
     r, n, d = params.U.shape
     m = params.V.shape[1]
     rows = train.u.shape[1]
     num_batches = -(-rows // batch_size)
     padded = num_batches * batch_size
     k_bits = max(rows - 1, 1).bit_length()
-    period = reshuffle_period or default_reshuffle_period()
     tile_w = stream_tile_width(batch_size)
+    # No tile width -> rotation-only cheap epochs; fall back to a fresh
+    # PRP every epoch (mirrors trainer._train_model).
+    period = reshuffle_period if tile_w is not None else 1
 
     state = EpochState(
         u_t=jnp.swapaxes(params.U, 1, 2),
@@ -190,3 +185,35 @@ def train_runs_pallas(
     )
     # scan stacks [E, R]; transpose to [R, E].
     return final, train_losses.T, val_losses.T
+
+
+def train_runs_pallas(
+    params: MFParams,
+    train: LabeledSplit,
+    val: LabeledSplit,
+    epochs_keys: jax.Array,
+    lr: jax.Array,
+    weight_decay: jax.Array,
+    batch_size: int = 64,
+    num_epochs: int = 30,
+    label_denom: int = 1,
+    interpret: bool = False,
+    reshuffle_period: int | None = None,
+) -> Tuple[MFParams, jax.Array, jax.Array]:
+    """Train R runs; returns (params, train_losses [R,E], val_losses [R,E]).
+
+    ``label_denom`` is the denominator of the training labels' rational
+    values (K under soft labels, else 1); it enables the packed-gather
+    fast path (``_pack_spec``) and must make ``z * label_denom`` integral.
+    ``reshuffle_period`` follows :func:`mfcd_tpu.train.trainer.train_model`
+    (env default resolved here, outside the jit, so it keys the cache).
+    """
+    period = reshuffle_period or default_reshuffle_period()
+    return _train_runs_pallas(
+        params, train, val, epochs_keys, lr, weight_decay,
+        batch_size=batch_size, num_epochs=num_epochs,
+        label_denom=label_denom, interpret=interpret,
+        reshuffle_period=period)
+
+
+train_runs_pallas.clear_cache = _train_runs_pallas.clear_cache

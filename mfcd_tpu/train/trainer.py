@@ -117,30 +117,26 @@ def batch_losses(params: MFParams, split: LabeledSplit, batch_size: int):
 
 @partial(jax.jit,
          static_argnames=("batch_size", "num_epochs", "reshuffle_period"))
-def train_model(
+def _train_model(
     params: MFParams,
     train: LabeledSplit,
     val: LabeledSplit,
     epochs_key: jax.Array,
     lr,
     weight_decay,
-    batch_size: int = 64,
-    num_epochs: int = 30,
-    reshuffle_period: int | None = None,
+    batch_size: int,
+    num_epochs: int,
+    reshuffle_period: int,
 ) -> Tuple[MFParams, jax.Array, jax.Array]:
-    """Train and return ``(params, train_losses [E], val_losses [E])``.
-
-    ``reshuffle_period`` (default ``MFCD_RESHUFFLE_PERIOD``, 4): every
-    P-th epoch draws a fresh PRP shuffle of the carried row stream; the
-    epochs between apply cheap prefix-preserving mixing (rotation +
-    full-tile permutation) — see ``mfcd_tpu.ops.shuffle.mix_stream``.
-    """
     rows = train.u.shape[0]
     k_bits = max(rows - 1, 1).bit_length()  # 2^k >= rows
     num_batches = -(-rows // batch_size)
     padded = num_batches * batch_size
-    period = reshuffle_period or default_reshuffle_period()
     tile_w = stream_tile_width(batch_size)
+    # Without a tile width the cheap mixing epochs would be rotation-only
+    # (batches = contiguous windows of the previous order) — fall back to
+    # a fresh PRP every epoch instead of silently degrading mix quality.
+    period = reshuffle_period if tile_w is not None else 1
 
     count = train.count.astype(jnp.int32)
     num_exec = jnp.ceil(count.astype(jnp.float32) / batch_size).astype(
@@ -188,3 +184,35 @@ def train_model(
         epoch_step, (params, opt, stream0), jnp.arange(num_epochs)
     )
     return params, train_losses, val_losses
+
+
+def train_model(
+    params: MFParams,
+    train: LabeledSplit,
+    val: LabeledSplit,
+    epochs_key: jax.Array,
+    lr,
+    weight_decay,
+    batch_size: int = 64,
+    num_epochs: int = 30,
+    reshuffle_period: int | None = None,
+) -> Tuple[MFParams, jax.Array, jax.Array]:
+    """Train and return ``(params, train_losses [E], val_losses [E])``.
+
+    ``reshuffle_period`` (default ``MFCD_RESHUFFLE_PERIOD``, 4): every
+    P-th epoch draws a fresh PRP shuffle of the carried row stream; the
+    epochs between apply cheap prefix-preserving mixing (rotation +
+    full-tile permutation) — see ``mfcd_tpu.ops.shuffle.mix_stream``.
+    The env default is resolved HERE, outside the jit, so it is part of
+    the compile-cache key (a mid-process env change is never masked by a
+    stale cached executable); jitted callers must pass the period
+    explicitly as a static argument for the same reason.
+    """
+    period = reshuffle_period or default_reshuffle_period()
+    return _train_model(params, train, val, epochs_key, lr, weight_decay,
+                        batch_size=batch_size, num_epochs=num_epochs,
+                        reshuffle_period=period)
+
+
+# Tests/probes clear the underlying jit cache through the public name.
+train_model.clear_cache = _train_model.clear_cache

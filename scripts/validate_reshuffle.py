@@ -30,16 +30,9 @@ def log(*a):
 def run_period(period: int, reps: int, seed: int):
     import os
 
+    # The engine resolves the period per call (outside every jit), so the
+    # env var is honored without any cache clearing.
     os.environ["MFCD_RESHUFFLE_PERIOD"] = str(period)
-    # The trainers read the period at trace time; force fresh traces.
-    from mfcd_tpu.sweep import engine as engine_mod
-    from mfcd_tpu.train.pallas_trainer import train_runs_pallas
-    from mfcd_tpu.train.trainer import train_model
-
-    train_model.clear_cache()
-    train_runs_pallas.clear_cache()
-    engine_mod._train_bucket_jnp.clear_cache()
-    engine_mod._train_bucket_pallas.clear_cache()
 
     from mfcd_tpu.core.config import RunConfig
     from mfcd_tpu.sweep.batched import run_bucket

@@ -141,3 +141,26 @@ def test_batch_losses_streams_blocks_exactly():
                                atol=5e-7, rtol=0)
     expect = float(jnp.sum(means) / jnp.maximum(jnp.sum(cnts > 0), 1))
     assert abs(float(epoch) - expect) < 1e-7
+
+
+def test_no_tile_width_batch_size_falls_back_to_fresh_prp():
+    """batch_size without a pow-2 factor >= 8 has no stream tile width;
+    the trainer must then reshuffle every epoch (period forced to 1)
+    instead of degrading to rotation-only mixing."""
+    from mfcd_tpu.ops.shuffle import stream_tile_width
+
+    assert stream_tile_width(20) is None
+    kx, kt, kv, ki, ke = jax.random.split(jax.random.key(21), 5)
+    x = jax.random.normal(kx, (N, M))
+    train = _make_split(kt, x, 200)
+    val = _make_split(kv, x, 60)
+    params0 = init_params(ki, N, M, D)
+
+    out_default = train_model(params0, train, val, ke, 1e-2, 1e-5,
+                              batch_size=20, num_epochs=5)
+    out_p1 = train_model(params0, train, val, ke, 1e-2, 1e-5,
+                         batch_size=20, num_epochs=5, reshuffle_period=1)
+    np.testing.assert_array_equal(np.asarray(out_default[0].U),
+                                  np.asarray(out_p1[0].U))
+    np.testing.assert_array_equal(np.asarray(out_default[1]),
+                                  np.asarray(out_p1[1]))
