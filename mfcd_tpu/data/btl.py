@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from mfcd_tpu.core import rng
 from mfcd_tpu.core.config import RunConfig, ShapeInfo, TRAIN_RATIO, VAL_RATIO
-from mfcd_tpu.sampling import sample_triplets, split_triplets
+from mfcd_tpu.sampling import sample_triplets
 from mfcd_tpu.sampling.dedup import TripletSet
 
 
@@ -109,6 +109,7 @@ def sample_and_split(
     alpha: float = 1.5,
     budget=None,
     extra_budget=None,
+    keep_sample: bool = False,
 ) -> SampledSplits:
     """Sample unique triplets, split 80/10/10, and top up the test split.
 
@@ -119,36 +120,59 @@ def sample_and_split(
     executable serves every sparsity value in a capacity bucket (the
     trainer's dynamic trip counts make capacity padding free at runtime).
     Defaults reproduce exact-capacity semantics.
+
+    The dedup -> split pipeline is fused: first-occurrence winners scatter
+    straight from the overdrawn proposal array into their final split
+    slots through a fixed keyed PRP of winner ranks
+    (:func:`mfcd_tpu.sampling.dedup.winners_to_splits`) — same structure
+    as the reference's fixed-seed ``random_split`` of the rejection loop's
+    insertion-ordered dataset (``structure.py:704-730``), at one scatter
+    instead of three scatter/gather passes.  ``keep_sample=True``
+    additionally materializes the compacted unique sample
+    (``SampledSplits.sample``; diagnostics only — the engine never needs
+    it and leaves it empty).
     """
+    from mfcd_tpu.sampling import first_occurrence_winners, propose_candidates
+    from mfcd_tpu.sampling.dedup import _compact, winners_to_splits
+
+    n, m = x.shape
     train_cap = int(TRAIN_RATIO * t_cap)
     val_cap = int(VAL_RATIO * t_cap)
     test_cap = t_cap - train_cap - val_cap
 
-    sample = sample_triplets(
+    cands, cvalid = propose_candidates(
         streams["sampling"], x, t_cap,
         strategy=strategy,
         popularity_method=popularity_method,
         alpha=alpha,
         budget=budget,
     )
-
-    splits = split_triplets(
-        sample, jnp.asarray(rng.split_permutation(t_cap)),
-        train_cap=train_cap,
-        val_cap=val_cap,
-        test_cap=test_cap,
+    win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
+    splits, count = winners_to_splits(
+        cands, win, t_cap, train_cap, val_cap, test_cap,
+        key=rng.split_key(), budget=budget,
+    )
+    sample = TripletSet(
+        _compact(cands, win, t_cap, budget=budget).triplets
+        if keep_sample else cands[:0], count,
     )
 
     test_triplets = splits.test
     test_count = splits.test_count
     if extra_cap > 0:
+        # The exclude set is the *kept* winner rows in place (first
+        # `budget` winners, exactly the dataset the reference excludes at
+        # ``structure.py:721-730``); the cumsum duplicates winners_to_
+        # splits' rank and is CSE'd away inside the same jit.
+        kept = win & (jnp.cumsum(win) - 1 <
+                      (t_cap if budget is None else budget))
         extra = sample_triplets(
             streams["extra_sampling"], x, extra_cap,
             strategy=strategy,
             popularity_method=popularity_method,
             alpha=alpha,
-            exclude=sample.triplets,
-            exclude_valid=sample.valid,
+            exclude=cands,
+            exclude_valid=kept,
             budget=extra_budget,
         )
         # Compact concatenation: valid test rows first, then valid extras.
@@ -224,6 +248,7 @@ def build_dataset(
         strategy=cfg.strategy,
         popularity_method=cfg.popularity_method,
         alpha=cfg.alpha,
+        keep_sample=True,
     )
     train, val, test = label_splits(
         streams, x, splits, s, cfg.K, cfg.soft_label)

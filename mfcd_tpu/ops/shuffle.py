@@ -87,6 +87,41 @@ def epoch_permutation(
     return x.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k_bits",))
+def exact_prefix_permutation(
+    key: jax.Array, slots: jax.Array, count, k_bits: int
+) -> jax.Array:
+    """Exact bijection of ``slots < count`` onto [0, count).
+
+    Same keyed mixing as :func:`epoch_permutation` but the cycle walk runs
+    until EVERY lane lands inside the prefix (no iteration cap, no lossy
+    fallback): walking a bijection's cycles from a start in [0, count)
+    re-enters [0, count) after finitely many steps, so the restriction is
+    an exact permutation.  Used where bijectivity is load-bearing (the
+    fused dataset split assigns each unique triplet a *distinct* slot);
+    expected iterations are ``2^k_bits / count``, a few cheap vector-ALU
+    rounds even under severe sampler shortfall.  Lanes with
+    ``slots >= count`` are remapped to slot 0 before the walk — a lane
+    starting outside the prefix could sit on a cycle that never enters
+    it — so their outputs are meaningless and must be discarded by the
+    caller.
+    """
+    muls, adds = _derive_constants(key)
+    count_u = jnp.maximum(jnp.uint32(count), jnp.uint32(1))
+    s = slots.astype(jnp.uint32)
+    s = jnp.where(s < count_u, s, jnp.uint32(0))
+    x = _mix(s, muls, adds, k_bits)
+
+    def cond(xv):
+        return jnp.any(xv >= count_u)
+
+    def body(xv):
+        return jnp.where(xv < count_u, xv, _mix(xv, muls, adds, k_bits))
+
+    x = jax.lax.while_loop(cond, body, x)
+    return x.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Carried epoch streams — periodic reshuffle + cheap prefix-preserving mixing
 # ---------------------------------------------------------------------------

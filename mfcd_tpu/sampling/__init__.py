@@ -15,9 +15,11 @@ import jax
 from mfcd_tpu.sampling.dedup import (  # noqa: F401
     SplitArrays,
     TripletSet,
+    first_occurrence_winners,
     overdraw_size,
     select_unique,
     split_triplets,
+    winners_to_splits,
 )
 from mfcd_tpu.sampling import strategies
 from mfcd_tpu.sampling.strategies import plan_overdraw  # noqa: F401
@@ -66,6 +68,36 @@ def sample_triplets(
     neighbor/top-set sizes stay capacity-derived (static shapes).
     """
     n, m = x.shape
+    cands, valid = propose_candidates(
+        key, x, num_triplets, strategy,
+        m_draw=m_draw, popularity_method=popularity_method, alpha=alpha,
+        n_clusters=n_clusters, budget=budget,
+    )
+    return select_unique(
+        cands, valid, num_triplets,
+        exclude=exclude, exclude_valid=exclude_valid, nm_shape=(n, m),
+        budget=budget,
+    )
+
+
+def propose_candidates(
+    key: jax.Array,
+    x: jax.Array,
+    num_triplets: int,
+    strategy: str,
+    m_draw: Optional[int] = None,
+    popularity_method: str = "zipf",
+    alpha: float = 1.5,
+    n_clusters: int = 10,
+    budget=None,
+):
+    """Strategy dispatch: overdrawn proposals ``(cands [M, 3], valid [M])``.
+
+    The proposal half of :func:`sample_triplets`; draw order is the
+    reference's insertion order (first-occurrence winners in draw order
+    reproduce the rejection loop's dataset order).
+    """
+    n, m = x.shape
     eff_budget = num_triplets if budget is None else budget
     if m_draw is None:
         m_draw = plan_overdraw(
@@ -99,8 +131,4 @@ def sample_triplets(
     else:
         raise ValueError(f"Unknown triplet sampling strategy: {strategy}")
 
-    return select_unique(
-        cands, valid, num_triplets,
-        exclude=exclude, exclude_valid=exclude_valid, nm_shape=(n, m),
-        budget=budget,
-    )
+    return cands, valid

@@ -84,6 +84,27 @@ def select_unique(
         "sort" — exact sequential-rejection semantics via one stable sort.
         "auto" — hash when packable, sort otherwise.
     """
+    keep = first_occurrence_winners(
+        cands, valid, exclude=exclude, exclude_valid=exclude_valid,
+        nm_shape=nm_shape, method=method)
+    return _compact(cands, keep, target, budget=budget)
+
+
+def first_occurrence_winners(
+    cands: jax.Array,
+    valid: jax.Array,
+    *,
+    exclude: Optional[jax.Array] = None,
+    exclude_valid: Optional[jax.Array] = None,
+    nm_shape: Optional[tuple] = None,
+    method: str = "auto",
+) -> jax.Array:
+    """[M] mask of first-occurrence unique valid candidates, in place.
+
+    The winner-selection half of :func:`select_unique` (hash or sort),
+    without the compaction — callers that consume winners positionally
+    (e.g. the fused dataset split) skip the compaction scatter entirely.
+    """
     m_cand = cands.shape[0]
     packed_ok = (
         nm_shape is not None
@@ -95,9 +116,8 @@ def select_unique(
         raise ValueError("hash dedup requires packable (n, m)")
 
     if method == "hash":
-        return _select_unique_hashed(
-            cands, valid, target, exclude, exclude_valid, nm_shape,
-            budget=budget)
+        return _hashed_winners(
+            cands, valid, exclude, exclude_valid, nm_shape)
 
     rows = jnp.where(valid[:, None], cands.astype(jnp.int32), _SENT)
     order = jnp.arange(m_cand, dtype=jnp.int32)
@@ -143,10 +163,9 @@ def select_unique(
         )
     keep_sorted = run_head & is_cand[sort_idx] & valid[sort_idx]
 
-    # Back to draw order, then compact the kept rows to the front.
+    # Back to draw order.
     keep = jnp.zeros(rows.shape[0], dtype=bool).at[sort_idx].set(keep_sorted)
-    keep = keep[-m_cand:]
-    return _compact(cands, keep, target, budget=budget)
+    return keep[-m_cand:]
 
 
 def _compact(
@@ -169,9 +188,9 @@ def _compact(
     return TripletSet(out, count)
 
 
-def _select_unique_hashed(
-    cands, valid, target, exclude, exclude_valid, nm_shape, budget=None
-) -> TripletSet:
+def _hashed_winners(
+    cands, valid, exclude, exclude_valid, nm_shape
+) -> jax.Array:
     """Exact-uniqueness winner selection via scatter-min on a hash table.
 
     Every triplet hashes to one slot; scatter-min of the draw order makes
@@ -215,8 +234,7 @@ def _select_unique_hashed(
     table = jnp.full((h,), jnp.iinfo(jnp.int32).max, jnp.int32)
     table = table.at[slot].min(all_order, mode="drop")
     winner = (table[jnp.minimum(slot, h - 1)] == all_order) & all_valid
-    keep = winner[-m_cand:]
-    return _compact(cands, keep, target, budget=budget)
+    return winner[-m_cand:]
 
 
 class SplitArrays(NamedTuple):
@@ -292,6 +310,100 @@ def split_triplets(
         test=big[train_cap + val_cap:],
         test_count=jnp.minimum(test_sz, test_cap),
     )
+
+
+def winners_to_splits(
+    cands: jax.Array,
+    win: jax.Array,
+    t_cap: int,
+    train_cap: int,
+    val_cap: int,
+    test_cap: int,
+    key: jax.Array,
+    budget=None,
+    train_ratio: float = 0.8,
+    val_ratio: float = 0.1,
+):
+    """Fused compaction + fixed-permutation 80/10/10 split: ONE scatter.
+
+    The classic pipeline (compact winners -> permute -> rank -> split)
+    costs three full-length scatters/gathers at ~1e5 rows, each
+    latency-bound per index on TPU.  But its net effect is a *fixed
+    bijection of winner ranks* given the unique count — exactly the
+    structure of the reference's fixed-generator ``random_split``
+    (``structure.py:710-713``: a seed-42 permutation, deterministic given
+    the dataset size, applied to triplets in first-occurrence draw
+    order).  So the split slot is computed pointwise instead: winner rank
+    ``r`` (a prefix cumsum) maps through an exact keyed PRP on
+    [0, count) (:func:`mfcd_tpu.ops.shuffle.exact_prefix_permutation`,
+    fixed key = the split seed), and the PRP value *is* the row's final
+    slot — [0, train_sz) lands in train at offset y, [train_sz,
+    train_sz + val_sz) in val, the rest in test.  One cumsum + vector ALU
+    + one scatter; bijectivity guarantees every slot is written at most
+    once.
+
+    Args:
+      cands: [M, 3] proposals in draw order.
+      win: [M] first-occurrence winner mask
+        (:func:`first_occurrence_winners`).
+      t_cap: static sample capacity (2^k_bits >= t_cap sizes the PRP
+        domain).
+      key: PRNG key of the split stream — FIXED across reps/configs,
+        mirroring the reference's fixed seed.
+      budget: optional traced exact target <= t_cap (capacity bucketing).
+
+    Returns:
+      (SplitArrays, count) — count is the unique-triplet count
+      (min(#winners, budget)), the same value :func:`select_unique`
+      reports.
+    """
+    if budget is None:
+        budget = t_cap
+    rank = jnp.cumsum(win) - 1
+    count = jnp.minimum(jnp.sum(win), budget).astype(jnp.int32)
+    kept = win & (rank < budget)
+
+    from mfcd_tpu.ops.shuffle import exact_prefix_permutation
+
+    k_bits = max((t_cap - 1).bit_length(), 1)
+    y = exact_prefix_permutation(key, rank, count, k_bits)
+
+    # Same size arithmetic as split_triplets (torch random_split floors).
+    train_sz = jnp.floor(train_ratio * count).astype(jnp.int32)
+    val_sz = jnp.floor(val_ratio * count).astype(jnp.int32)
+    test_sz = count - train_sz - val_sz
+
+    total = train_cap + val_cap + test_cap
+    in_train = kept & (y < train_sz) & (y < train_cap)
+    in_val = kept & (y >= train_sz) & (y < train_sz + val_sz) \
+        & (y - train_sz < val_cap)
+    in_test = kept & (y >= train_sz + val_sz) \
+        & (y - train_sz - val_sz < test_cap)
+    pos = jnp.where(
+        in_train,
+        y,
+        jnp.where(
+            in_val,
+            train_cap + (y - train_sz),
+            jnp.where(
+                in_test,
+                train_cap + val_cap + (y - train_sz - val_sz),
+                total,  # dropped
+            ),
+        ),
+    )
+    big = jnp.zeros((total, 3), dtype=jnp.int32).at[pos].set(
+        cands.astype(jnp.int32), mode="drop"
+    )
+
+    return SplitArrays(
+        train=big[:train_cap],
+        train_count=jnp.minimum(train_sz, train_cap),
+        val=big[train_cap:train_cap + val_cap],
+        val_count=jnp.minimum(val_sz, val_cap),
+        test=big[train_cap + val_cap:],
+        test_count=jnp.minimum(test_sz, test_cap),
+    ), count
 
 
 def overdraw_size(

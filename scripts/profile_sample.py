@@ -21,7 +21,8 @@ import numpy as np
 
 from mfcd_tpu.core import rng
 from mfcd_tpu.core.config import RunConfig
-from mfcd_tpu.data.btl import sample_and_split, split_triplets
+from mfcd_tpu.data.btl import sample_and_split
+from mfcd_tpu.sampling import split_triplets
 from mfcd_tpu.genx import generate_x
 from mfcd_tpu.models.mf import init_params
 from mfcd_tpu.sampling import sample_triplets

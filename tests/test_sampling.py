@@ -278,3 +278,79 @@ def test_traced_budget_equals_static_at_capacity():
         assert int(a.count) == int(b.count)
         np.testing.assert_array_equal(
             np.asarray(a.triplets), np.asarray(b.triplets), err_msg=strategy)
+
+
+def _fused_splits(t, strategy="random", budget=None, key=KEY):
+    from mfcd_tpu.core import rng
+    from mfcd_tpu.sampling import first_occurrence_winners, propose_candidates
+    from mfcd_tpu.sampling.dedup import winners_to_splits
+
+    cands, valid = propose_candidates(key, X, t, strategy, budget=budget)
+    win = first_occurrence_winners(cands, valid, nm_shape=(N, M))
+    tr_cap, va_cap = int(0.8 * t), int(0.1 * t)
+    splits, count = winners_to_splits(
+        cands, win, t, tr_cap, va_cap, t - tr_cap - va_cap,
+        key=rng.split_key(), budget=budget)
+    return splits, count, cands, win
+
+
+def test_winners_to_splits_partition():
+    """The fused one-scatter split covers the kept winner set exactly,
+    with the reference's floor(0.8/0.1) sizes (structure.py:704-718)."""
+    t = 200
+    splits, count, cands, win = _fused_splits(t)
+    cnt = int(count)
+    assert cnt == t
+    tr = np.asarray(splits.train[: int(splits.train_count)])
+    va = np.asarray(splits.val[: int(splits.val_count)])
+    te = np.asarray(splits.test[: int(splits.test_count)])
+    assert len(tr) == int(0.8 * t) and len(va) == int(0.1 * t)
+    assert len(tr) + len(va) + len(te) == cnt
+    got = [tuple(r) for r in np.concatenate([tr, va, te]).tolist()]
+    assert len(set(got)) == cnt  # PRP bijectivity: no slot written twice
+    kept = np.asarray(cands)[np.asarray(win)][:cnt]
+    assert set(got) == {tuple(r) for r in kept.tolist()}
+
+
+def test_winners_to_splits_budget_and_shortfall():
+    """A traced budget below capacity caps count and sizes; at
+    budget == capacity the traced program is bit-equal to the static one."""
+    t = 256
+    s_static, c_static, _, _ = _fused_splits(t)
+    s_traced, c_traced, _, _ = _fused_splits(t, budget=jnp.int32(t))
+    assert int(c_static) == int(c_traced)
+    for a, b in zip(s_static, s_traced):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s_cap, c_cap, cands, win = _fused_splits(t, budget=jnp.int32(57))
+    assert int(c_cap) == 57
+    assert int(s_cap.train_count) == int(0.8 * 57)
+    assert int(s_cap.val_count) == int(0.1 * 57)
+    total = int(s_cap.train_count) + int(s_cap.val_count) + int(
+        s_cap.test_count)
+    assert total == 57
+    # The kept set is the first 57 winners in draw order (reference
+    # insertion order), not an arbitrary 57-subset.
+    tr = np.asarray(s_cap.train[: int(s_cap.train_count)])
+    va = np.asarray(s_cap.val[: int(s_cap.val_count)])
+    te = np.asarray(s_cap.test[: int(s_cap.test_count)])
+    got = {tuple(r) for r in np.concatenate([tr, va, te]).tolist()}
+    first57 = np.asarray(cands)[np.asarray(win)][:57]
+    assert got == {tuple(r) for r in first57.tolist()}
+
+
+def test_sample_and_split_matches_select_unique_count():
+    """sample_and_split's count equals select_unique's for the same
+    stream/budget (the fused path changes partition, never membership)."""
+    from mfcd_tpu.core import rng as rng_mod
+    from mfcd_tpu.data.btl import sample_and_split
+
+    streams = rng_mod.rep_streams(jax.random.key(5))
+    t = 200
+    out = sample_and_split(streams, X, t_cap=t, extra_cap=0,
+                           strategy="random", keep_sample=True)
+    ref = sample_triplets(streams["sampling"], X, t, strategy="random")
+    assert int(out.sample.count) == int(ref.count)
+    ref_set, _ = _as_set(ref)
+    got_set, _ = _as_set(out.sample)
+    assert got_set == ref_set

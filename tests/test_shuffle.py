@@ -140,3 +140,30 @@ def test_mix_stream_prefix_is_pad_invariant():
             ref = prefix
         else:
             np.testing.assert_array_equal(prefix, ref)
+
+
+def test_exact_prefix_permutation_bijective_all_regimes():
+    """The unbounded walk is an exact bijection on [0, count) even under
+    severe shortfall (count << 2^k), where epoch_permutation's capped walk
+    would fall back to a lossy scramble."""
+    from mfcd_tpu.ops.shuffle import exact_prefix_permutation
+
+    for count, k_bits in [(7, 17), (1, 10), (1024, 10), (700, 10),
+                          (131072, 17), (100000, 17)]:
+        n_slots = 1 << k_bits
+        slots = jnp.arange(n_slots, dtype=jnp.int32)
+        out = np.asarray(exact_prefix_permutation(
+            jax.random.key(3), slots, jnp.int32(count), k_bits))
+        prefix = out[:count]
+        assert sorted(prefix.tolist()) == list(range(count)), (count, k_bits)
+
+
+def test_exact_prefix_permutation_garbage_lanes_terminate():
+    """Lanes with slots >= count (dropped by callers) must not hang the
+    walk; they are remapped into the prefix's cycle set."""
+    from mfcd_tpu.ops.shuffle import exact_prefix_permutation
+
+    slots = jnp.arange(64, dtype=jnp.int32) + 1000  # all out of prefix
+    out = np.asarray(exact_prefix_permutation(
+        jax.random.key(4), slots, jnp.int32(16), 10))
+    assert out.shape == (64,) and (out >= 0).all() and (out < 16).all()
