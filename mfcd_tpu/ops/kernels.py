@@ -69,18 +69,19 @@ class EpochState(NamedTuple):
 def _epoch_kernel(
     # SMEM scalar operands (full [R, 1] blocks indexed by program_id)
     lr_ref, wd_ref, step0_ref, count_ref,
-    # tensor operands
-    pu_ref, pi_ref, pj_ref, z_ref,
-    u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in,
-    # outputs (state aliased to inputs, plus the epoch loss)
-    u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out, loss_out,
-    *, b1: float, b2: float, eps: float,
+    # variable-arity tail: stream refs, aliased state inputs, outputs
+    *refs, b1: float, b2: float, eps: float, pack: tuple,
 ):
-    del u_in, v_in, mu_u_in, nu_u_in, mu_v_in, nu_v_in  # aliased to outputs
+    mode, bits_n, bits_m, bits_z, denom = pack
+    n_stream = {"full": 1, "uij": 2, "none": 4}[mode]
+    stream_refs = refs[:n_stream]
+    # state inputs refs[n_stream:n_stream+6] are aliased to the outputs
+    (u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out,
+     loss_out) = refs[n_stream + 6:]
     d, n = u_out.shape[1], u_out.shape[2]
     m = v_out.shape[2]
-    chunk = pu_ref.shape[1]
-    bs = pu_ref.shape[2]
+    chunk = stream_refs[0].shape[1]
+    bs = stream_refs[0].shape[2]
     run = pl.program_id(0)
     ci = pl.program_id(1)
     lr = lr_ref[run, 0]
@@ -114,10 +115,26 @@ def _epoch_kernel(
 
     def body(tl, loss_sum):
         t = base + tl
-        idx_u = pu_ref[0, tl, :]
-        idx_i = pi_ref[0, tl, :]
-        idx_j = pj_ref[0, tl, :]
-        z = z_ref[0, tl, :].reshape(1, bs)
+        # Unpack the batch in-registers.  Packed modes read ONE int32 word
+        # per row from VMEM (vs four HBM-materialized arrays per epoch in
+        # the old design); the shift/mask unpack is free VPU work and the
+        # f32 division k/denom is the identical IEEE op the host-side
+        # unpack performed, so results are bit-equal.
+        if mode == "none":
+            idx_u = stream_refs[0][0, tl, :]
+            idx_i = stream_refs[1][0, tl, :]
+            idx_j = stream_refs[2][0, tl, :]
+            z = stream_refs[3][0, tl, :].reshape(1, bs)
+        else:
+            y = stream_refs[0][0, tl, :]
+            idx_u = y & ((1 << bits_n) - 1)
+            idx_i = (y >> bits_n) & ((1 << bits_m) - 1)
+            idx_j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
+            if mode == "full":
+                k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
+                z = (k.astype(_F32) / jnp.float32(denom)).reshape(1, bs)
+            else:
+                z = stream_refs[1][0, tl, :].reshape(1, bs)
         slots = t * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         mask = (slots < count).astype(_F32)
 
@@ -176,14 +193,15 @@ def _epoch_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("b1", "b2", "eps", "interpret", "chunk_batches")
+    jax.jit,
+    static_argnames=("pack", "b1", "b2", "eps", "interpret", "chunk_batches"),
 )
 def pallas_train_epoch(
     state: EpochState,
-    pu, pi, pj,        # [R, B, bs] int32 permuted row/item indices
-    z,                 # [R, B, bs] f32 labels
+    stream,            # tuple of [R, B, bs] arrays; layout set by ``pack``
     lr, wd, step0,     # [R] f32 (step0 = Adam step count before this epoch)
     count,             # [R] int32 valid-row counts
+    pack: tuple = ("none", 0, 0, 0, 1),
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -193,22 +211,29 @@ def pallas_train_epoch(
     """One full training epoch per run, fused into a single TPU kernel.
 
     Grid dimension = runs; each grid step trains one run's epoch entirely
-    in VMEM.  Returns (new_state, per-run epoch mean loss [R]).
+    in VMEM.  ``stream`` carries the shuffled batch rows in the layout
+    described by ``pack = (mode, bits_n, bits_m, bits_z, label_denom)``
+    (see :func:`mfcd_tpu.train.pallas_trainer._pack_spec`):
+    ``("none", ...)`` -> ``(pu, pi, pj, z)`` four plain arrays;
+    ``("uij", ...)`` -> ``(packed_uij, z)``; ``("full", ...)`` -> one
+    packed int32 array.  Packed rows are unpacked in-registers inside the
+    kernel, so no unpacked batch tensors ever touch HBM.
+    Returns (new_state, per-run epoch mean loss [R]).
     """
     r, d, n = state.u_t.shape
     m = state.v_t.shape[2]
-    num_batches = pu.shape[1]
-    bs = pu.shape[2]
-    # Chunk the batch axis so the streamed (pu, pi, pj, z) blocks fit VMEM
-    # alongside the resident state: ~512KB per array per chunk (x4 arrays,
-    # x2 for pipelining = ~4MB of streaming buffers).  ``chunk_batches``
-    # overrides the heuristic (used by the envelope-probe script).
+    stream = tuple(stream)
+    num_batches = stream[0].shape[1]
+    bs = stream[0].shape[2]
+    # Chunk the batch axis so the streamed blocks fit VMEM alongside the
+    # resident state: ~512KB per array per chunk (x2 for pipelining).
+    # ``chunk_batches`` overrides the heuristic (envelope-probe script).
     chunk = chunk_batches or max(1, min(num_batches, (512 * 1024) // (bs * 4)))
     n_chunks = -(-num_batches // chunk)
     pad_b = n_chunks * chunk - num_batches
     if pad_b:
-        grow = lambda a: jnp.pad(a, ((0, 0), (0, pad_b), (0, 0)))
-        pu, pi, pj, z = grow(pu), grow(pi), grow(pj), grow(z)
+        stream = tuple(
+            jnp.pad(a, ((0, 0), (0, pad_b), (0, 0))) for a in stream)
 
     state_spec_n = pl.BlockSpec((1, d, n), lambda i, c: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -222,14 +247,17 @@ def pallas_train_epoch(
     scalar_spec = pl.BlockSpec((r, 1), lambda i, c: (0, 0),
                                memory_space=pltpu.SMEM)
 
-    kernel = functools.partial(_epoch_kernel, b1=b1, b2=b2, eps=eps)
+    kernel = functools.partial(_epoch_kernel, b1=b1, b2=b2, eps=eps,
+                               pack=pack)
+    n_stream = len(stream)
+    state_base = 4 + n_stream  # scalars + stream refs precede the state
 
     out = pl.pallas_call(
         kernel,
         grid=(r, n_chunks),
         in_specs=[
             scalar_spec, scalar_spec, scalar_spec, scalar_spec,
-            batch_spec, batch_spec, batch_spec, batch_spec,
+            *([batch_spec] * n_stream),
             state_spec_n, state_spec_m,
             state_spec_n, state_spec_n, state_spec_m, state_spec_m,
         ],
@@ -247,12 +275,12 @@ def pallas_train_epoch(
             jax.ShapeDtypeStruct((r, d, m), _F32),
             jax.ShapeDtypeStruct((r, 1), _F32),
         ],
-        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4, 13: 5},
+        input_output_aliases={state_base + k: k for k in range(6)},
         interpret=interpret,
     )(
         lr.reshape(r, 1), wd.reshape(r, 1), step0.reshape(r, 1),
         count.astype(jnp.int32).reshape(r, 1),
-        pu, pi, pj, z,
+        *stream,
         state.u_t, state.v_t,
         state.mu_u, state.nu_u, state.mu_v, state.nu_v,
     )

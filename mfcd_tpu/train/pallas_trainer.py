@@ -13,10 +13,11 @@ Epoch flow (inside one ``lax.scan`` over epochs):
      (``mfcd_tpu.ops.shuffle.mix_stream``): a fresh PRP element gather
      every ``reshuffle_period``-th epoch, cheap prefix rotation +
      full-tile permutation in between (~8x less gather latency),
-  2. unpack the stream into [R, B, bs] batch tensors,
-  3. one ``pallas_train_epoch`` call trains every run's epoch on-chip,
-     executing only the ceil(count/bs) batches that hold valid rows,
-  4. a vectorized masked validation pass records the per-epoch val loss.
+  2. one ``pallas_train_epoch`` call trains every run's epoch on-chip,
+     streaming the *packed* rows into VMEM and unpacking them in-registers
+     (no unpacked batch tensors ever touch HBM), executing only the
+     ceil(count/bs) batches that hold valid rows,
+  3. a vectorized masked validation pass records the per-epoch val loss.
 """
 
 from __future__ import annotations
@@ -106,7 +107,8 @@ def _train_runs_pallas(
     lr = lr.astype(jnp.float32)
     wd = weight_decay.astype(jnp.float32)
 
-    pack_mode, bits_n, bits_m, bits_z = _pack_spec(n, m, label_denom)
+    pack = _pack_spec(n, m, label_denom)
+    pack_mode, bits_n, bits_m, _ = pack
     rshape = (r, num_batches, batch_size)
     pad2 = lambda a: jnp.pad(a, ((0, 0), (0, padded - rows)))
     if pack_mode != "none":
@@ -118,30 +120,15 @@ def _train_runs_pallas(
     if pack_mode == "full":
         z_num = jnp.round(train.z * float(label_denom)).astype(jnp.int32)
         stream0 = (pad2(uij_packed | (z_num << (bits_n + 2 * bits_m))),)
-
-        def unpack(stream):
-            y = stream[0].reshape(rshape)
-            u = y & ((1 << bits_n) - 1)
-            i = (y >> bits_n) & ((1 << bits_m) - 1)
-            j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
-            k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
-            z = k.astype(jnp.float32) / jnp.float32(label_denom)
-            return u, i, j, z
     elif pack_mode == "uij":
         stream0 = (pad2(uij_packed), pad2(train.z))
-
-        def unpack(stream):
-            y = stream[0].reshape(rshape)
-            u = y & ((1 << bits_n) - 1)
-            i = (y >> bits_n) & ((1 << bits_m) - 1)
-            j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
-            return u, i, j, stream[1].reshape(rshape)
     else:
         stream0 = (pad2(train.u), pad2(train.i), pad2(train.j),
                    pad2(train.z))
-
-        def unpack(stream):
-            return tuple(a.reshape(rshape) for a in stream)
+    # The kernel unpacks rows in-registers (pack= below), so the stream
+    # tuple goes to the device verbatim — no unpacked [R, B, bs] batch
+    # tensors are ever materialized in HBM.
+    kernel_pack = (*pack, label_denom)
 
     def epoch_step(carry, epoch_idx):
         state, stream = carry
@@ -154,11 +141,11 @@ def _train_runs_pallas(
                 arrs, k, epoch_idx, cnt, k_bits,
                 period=period, tile_w=tile_w)
         )(stream, keys, count)
-        pu, pi, pj, z = unpack(stream)
 
         step0 = epoch_idx.astype(jnp.float32) * nonempty_batches
         state, train_loss = pallas_train_epoch(
-            state, pu, pi, pj, z, lr, wd, step0, count,
+            state, tuple(a.reshape(rshape) for a in stream),
+            lr, wd, step0, count, pack=kernel_pack,
             interpret=interpret,
         )
 

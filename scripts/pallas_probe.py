@@ -109,7 +109,7 @@ def main():
             for e in range(args.epochs):
                 step0 = jnp.full((r,), float(e * num_batches), jnp.float32)
                 state, loss = pallas_train_epoch(
-                    state, pu, pi, pj, z, lr, wd, step0, count,
+                    state, (pu, pi, pj, z), lr, wd, step0, count,
                     chunk_batches=args.chunk,
                 )
             loss = jax.device_get(loss)

@@ -146,7 +146,7 @@ def kernel_only(params, train, lr, wd):
     def step(carry, e):
         st = carry
         st, loss = pallas_train_epoch(
-            st, pu, pi, pj, z, lr, wd, e.astype(jnp.float32) * nonempty,
+            st, (pu, pi, pj, z), lr, wd, e.astype(jnp.float32) * nonempty,
             count)
         return st, loss
 

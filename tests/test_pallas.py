@@ -114,6 +114,30 @@ def test_pack_spec_modes():
     assert (1 << bn) > 99 and (1 << bm) > 99 and (1 << bz) > 50
 
 
+def test_pallas_kernel_uij_and_none_modes_match(monkeypatch):
+    """The kernel's in-register unpack has three static branches (full /
+    uij / none); the small test shapes always pick "full", so force the
+    other two and assert they match the jnp trainer too."""
+    from mfcd_tpu.train import pallas_trainer as PT
+
+    real = PT._pack_spec(N, M, 1)
+    for forced in ("uij", "none"):
+        spec = (("uij", real[1], real[2], 0) if forced == "uij"
+                else ("none", 0, 0, 0))
+        monkeypatch.setattr(PT, "_pack_spec", lambda *a, _s=spec: _s)
+        PT.train_runs_pallas.clear_cache()  # same shapes as other tests
+        ref, got = _run_both(counts=[70, ROWS], lrs=[1e-2, 3e-2])
+        got_params, got_tl, _ = got
+        for ri, (ref_params, ref_tl, _) in enumerate(ref):
+            np.testing.assert_allclose(
+                np.asarray(got_tl[ri]), np.asarray(ref_tl),
+                rtol=2e-4, atol=1e-5, err_msg=forced)
+            np.testing.assert_allclose(
+                np.asarray(got_params.U[ri]), np.asarray(ref_params.U),
+                rtol=2e-3, atol=1e-4, err_msg=forced)
+    PT.train_runs_pallas.clear_cache()
+
+
 def test_pallas_matches_jnp_soft_labels_packed():
     """Soft labels (z = k/K) through the packed-gather path must match the
     jnp trainer bit-for-bit in the unpacked values (label_denom carries
