@@ -140,15 +140,19 @@ def _epoch_kernel(
 
         oh_u = (jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1)
                 == idx_u[:, None]).astype(_F32)
-        oh_i = (jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
-                == idx_i[:, None]).astype(_F32)
-        oh_j = (jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
-                == idx_j[:, None]).astype(_F32)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
+        # Signed one-hot difference: +1 at column i, -1 at column j (0 when
+        # i == j, which the samplers exclude).  Shared by the forward
+        # contraction and the backward scatter — the same structure the jnp
+        # path's autodiff produces for ``(onehot(i) - onehot(j)) @ V``
+        # (kernels.onehot_forward_logits).
+        oh_d = ((iota_m == idx_i[:, None]).astype(_F32)
+                - (iota_m == idx_j[:, None]).astype(_F32))
 
         u_mat = u_out[0]
         v_mat = v_out[0]
         eu = contract(u_mat, oh_u)                 # [d, bs]
-        dv = contract(v_mat, oh_i - oh_j)          # [d, bs]
+        dv = contract(v_mat, oh_d)                 # [d, bs]
         logits = jnp.sum(eu * dv, axis=0, keepdims=True)  # [1, bs]
 
         # Stable BCE and its gradient.
@@ -162,7 +166,7 @@ def _epoch_kernel(
         g_u_rows = g * dv                          # [d, bs]
         g_v_rows = g * eu
         grad_u = scatter(g_u_rows, oh_u)           # [d, n]
-        grad_v = scatter(g_v_rows, oh_i) - scatter(g_v_rows, oh_j)
+        grad_v = scatter(g_v_rows, oh_d)           # [d, m]
 
         # torch-Adam with coupled weight decay.  Every executed batch holds
         # at least one valid row by construction, so no empty-batch gating.
