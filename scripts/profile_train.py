@@ -129,6 +129,9 @@ def gather_only(train, ekeys):
 
 @jax.jit
 def kernel_only(params, train, lr, wd):
+    """The fused-epoch kernel alone, in the same packed-stream mode the
+    production trainer uses at this shape (one int32 word per row,
+    unpacked in-registers inside the kernel)."""
     count = train.count.astype(jnp.int32)
     state = EpochState(
         u_t=jnp.swapaxes(params.U, 1, 2),
@@ -137,17 +140,19 @@ def kernel_only(params, train, lr, wd):
         mu_v=jnp.zeros((R, D, M_ITEMS)), nu_v=jnp.zeros((R, D, M_ITEMS)),
     )
     shape = (R, ROWS // BS, BS)
-    pu = train.u.reshape(shape)
-    pi = train.i.reshape(shape)
-    pj = train.j.reshape(shape)
-    z = train.z.reshape(shape)
+    mode, bits_n, bits_m, bits_z = _pack_spec(N_USERS, M_ITEMS, 1)
+    packed = (train.u | (train.i << bits_n)
+              | (train.j << (bits_n + bits_m))
+              | (jnp.round(train.z).astype(jnp.int32)
+                 << (bits_n + 2 * bits_m))).reshape(shape)
+    pack = (mode, bits_n, bits_m, bits_z, 1)
     nonempty = jnp.ceil(count.astype(jnp.float32) / BS)
 
     def step(carry, e):
         st = carry
         st, loss = pallas_train_epoch(
-            st, (pu, pi, pj, z), lr, wd, e.astype(jnp.float32) * nonempty,
-            count)
+            st, (packed,), lr, wd, e.astype(jnp.float32) * nonempty,
+            count, pack=pack)
         return st, loss
 
     st, losses = jax.lax.scan(step, state, jnp.arange(EPOCHS))
