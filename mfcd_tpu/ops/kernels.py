@@ -338,20 +338,30 @@ def _unpack_row(y, bits_n, bits_m, bits_z, denom):
     return idx_u, idx_i, idx_j, z
 
 
+def _unpack_uij(y, bits_n, bits_m):
+    """In-register unpack of a packed (u, i, j) int32 row vector."""
+    idx_u = y & ((1 << bits_n) - 1)
+    idx_i = (y >> bits_n) & ((1 << bits_m) - 1)
+    idx_j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
+    return idx_u, idx_i, idx_j
+
+
 def _window_kernel(
     # SMEM scalar operands ([R, ...] blocks indexed by program_id)
     lr_ref, wd_ref, step0_ref, count_ref, vcount_ref, active_ref, shear_ref,
     # VMEM streams + aliased state inputs, then outputs
     *refs, b1: float, b2: float, eps: float, pack: tuple, window: int,
 ):
-    _, bits_n, bits_m, bits_z, denom = pack
-    stream_ref, vstream_ref = refs[0], refs[1]
-    # state inputs refs[2:8] are aliased to the outputs
+    mode, bits_n, bits_m, bits_z, denom = pack
+    n_train = {"full": 1, "uij": 2}[mode]
+    train_refs = refs[:n_train]
+    vstream_ref = refs[n_train]
+    # state inputs refs[n_train+1 : n_train+7] are aliased to the outputs
     (u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out,
-     tl_out, vl_out) = refs[8:]
+     tl_out, vl_out) = refs[n_train + 7:]
     d, n = u_out.shape[1], u_out.shape[2]
     m = v_out.shape[2]
-    bs = stream_ref.shape[2]
+    bs = train_refs[0].shape[2]
     run = pl.program_id(0)
     lr = lr_ref[run, 0]
     wd = wd_ref[run, 0]
@@ -405,23 +415,34 @@ def _window_kernel(
                     delta = delta + (
                         lane < shear_ref[run, window + ee]).astype(jnp.int32)
 
-            def body(t, loss_sum):
+            def read_row(ref, t):
+                """Sheared batch read — epoch e's batch t from ``ref``.
+
+                Reads the <= e+1 source tiles of the sheared batch and
+                merges them by lane mask (ops.shuffle.apply_window_shear
+                is the jnp oracle of this exact pattern).  Every train
+                stream is read at the SAME positions so multi-array pack
+                modes stay row-aligned.
+                """
                 if e == 0:
-                    row = stream_ref[0, t, :]
+                    return ref[0, t, :]
+                base = t + cumb
+                row = ref[0, jax.lax.rem(base, jnp.maximum(full, 1)), :]
+                for k in range(1, e + 1):
+                    rk = ref[0, jax.lax.rem(
+                        base + k, jnp.maximum(full, 1)), :]
+                    row = jnp.where(delta == k, rk, row)
+                return jnp.where(t < full, row, ref[0, t, :])
+
+            def body(t, loss_sum):
+                if mode == "full":
+                    idx_u, idx_i, idx_j, z = _unpack_row(
+                        read_row(train_refs[0], t),
+                        bits_n, bits_m, bits_z, denom)
                 else:
-                    # Read the <= e+1 source tiles of the sheared batch and
-                    # merge them by lane mask (ops.shuffle.apply_window_shear
-                    # is the jnp oracle of this exact pattern).
-                    base = t + cumb
-                    row = stream_ref[0, jax.lax.rem(
-                        base, jnp.maximum(full, 1)), :]
-                    for k in range(1, e + 1):
-                        rk = stream_ref[0, jax.lax.rem(
-                            base + k, jnp.maximum(full, 1)), :]
-                        row = jnp.where(delta == k, rk, row)
-                    row = jnp.where(t < full, row, stream_ref[0, t, :])
-                idx_u, idx_i, idx_j, z = _unpack_row(
-                    row, bits_n, bits_m, bits_z, denom)
+                    idx_u, idx_i, idx_j = _unpack_uij(
+                        read_row(train_refs[0], t), bits_n, bits_m)
+                    z = read_row(train_refs[1], t)
                 z = z.reshape(1, bs)
                 slots = t * bs + lane.reshape(1, bs)
                 mask = (slots < count).astype(_F32)
@@ -460,11 +481,11 @@ def _window_kernel(
             # Per-epoch validation pass, fused in-kernel: the intermediate
             # epoch params never leave VMEM.  Val labels are always hard
             # (reference structure.py:733-735), so the packed numerator is
-            # the 1-bit label itself (denom 1).
+            # the 1-bit label itself (denom 1) in every pack mode.
             def vbody(t, vsum):
                 row = vstream_ref[0, t, :]
                 idx_u, idx_i, idx_j, z = _unpack_row(
-                    row, bits_n, bits_m, bits_z, 1)
+                    row, bits_n, bits_m, 1, 1)
                 z = z.reshape(1, bs)
                 slots = t * bs + lane.reshape(1, bs)
                 mask = (slots < vcount).astype(_F32)
@@ -489,7 +510,7 @@ def _window_kernel(
 )
 def pallas_train_window(
     state: EpochState,
-    stream: jax.Array,     # [R, NB, bs] packed int32 ("full" mode)
+    stream,                # tuple of [R, NB, bs] arrays; layout per ``pack``
     vstream: jax.Array,    # [R, NVB, bs] packed int32 (hard labels)
     lr, wd, step0,         # [R] f32
     count, vcount,         # [R] int32 valid-row counts
@@ -510,16 +531,18 @@ def pallas_train_window(
     stream through the composable lane-shear bijection
     (``mfcd_tpu.ops.shuffle.window_shear_params`` /
     ``apply_window_shear``), so no per-epoch stream rewrite, no unpacked
-    batch tensors, and no intermediate params ever touch HBM.  Requires
-    pack mode "full" and the whole stream resident in VMEM
-    (``pallas_window_supported``).
+    batch tensors, and no intermediate params ever touch HBM.  ``stream``
+    is ``(packed,)`` in pack mode "full" or ``(packed_uij, z)`` in mode
+    "uij" (soft labels whose numerator doesn't fit the word); the whole
+    stream must be VMEM-resident (``pallas_window_supported``).
 
     Returns ``(new_state, train_losses [R, window], val_losses
     [R, window])`` — entries past ``active`` are zero.
     """
     r, d, n = state.u_t.shape
     m = state.v_t.shape[2]
-    nb, bs = stream.shape[1], stream.shape[2]
+    stream = tuple(stream)
+    nb, bs = stream[0].shape[1], stream[0].shape[2]
     nvb = vstream.shape[1]
 
     state_spec_n = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0),
@@ -539,7 +562,8 @@ def pallas_train_window(
 
     kernel = functools.partial(_window_kernel, b1=b1, b2=b2, eps=eps,
                                pack=pack, window=window)
-    state_base = 7 + 2  # 6 scalar blocks + shear + 2 streams
+    n_train = len(stream)
+    state_base = 7 + n_train + 1  # scalar blocks + shear + streams + val
 
     out = pl.pallas_call(
         kernel,
@@ -547,7 +571,7 @@ def pallas_train_window(
         in_specs=[
             scalar_spec, scalar_spec, scalar_spec, scalar_spec,
             scalar_spec, scalar_spec, shear_spec,
-            stream_spec, vstream_spec,
+            *([stream_spec] * n_train), vstream_spec,
             state_spec_n, state_spec_m,
             state_spec_n, state_spec_n, state_spec_m, state_spec_m,
         ],
@@ -574,7 +598,7 @@ def pallas_train_window(
         vcount.astype(jnp.int32).reshape(r, 1),
         active.astype(jnp.int32).reshape(r, 1),
         shear.astype(jnp.int32),
-        stream, vstream,
+        *stream, vstream,
         state.u_t, state.v_t,
         state.mu_u, state.nu_u, state.mu_v, state.nu_v,
     )
@@ -583,7 +607,8 @@ def pallas_train_window(
 
 
 def pallas_window_supported(n: int, m: int, d: int, num_batches: int,
-                            val_batches: int, batch_size: int) -> bool:
+                            val_batches: int, batch_size: int,
+                            n_streams: int = 1) -> bool:
     """VMEM-fit check for the multi-epoch window kernel.
 
     Unlike the per-epoch kernel (which streams the batch axis in chunks),
@@ -601,7 +626,7 @@ def pallas_window_supported(n: int, m: int, d: int, num_batches: int,
         return ((rows + 7) // 8 * 8) * ((cols + 127) // 128 * 128) * 4
 
     state_bytes = 3 * (padded(d, n) + padded(d, m))
-    stream_bytes = (num_batches + val_batches) * batch_size * 4
+    stream_bytes = (n_streams * num_batches + val_batches) * batch_size * 4
     onehot_bytes = 3 * padded(batch_size, max(n, m))
     total = state_bytes + stream_bytes + onehot_bytes
     return total < 12 * 1024 * 1024

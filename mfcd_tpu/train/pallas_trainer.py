@@ -129,21 +129,33 @@ def _train_runs_windowed(
     wd = weight_decay.astype(jnp.float32)
 
     mode, bits_n, bits_m, bits_z = _pack_spec(n, m, label_denom)
-    assert mode == "full"
+    assert mode in ("full", "uij")
     kernel_pack = (mode, bits_n, bits_m, bits_z, label_denom)
 
-    def pack_split(sp, rows_in, denom):
+    def pad_rows(a, rows_in):
+        nb = -(-rows_in // batch_size)
+        return jnp.pad(a, ((0, 0), (0, nb * batch_size - rows_in)))
+
+    def pack_full(sp, rows_in, denom):
         z_num = jnp.round(sp.z * float(denom)).astype(jnp.int32)
         packed = (sp.u | (sp.i << bits_n) | (sp.j << (bits_n + bits_m))
                   | (z_num << (bits_n + 2 * bits_m)))
-        nb = -(-rows_in // batch_size)
-        return jnp.pad(packed, ((0, 0), (0, nb * batch_size - rows_in))
-                       ).reshape(r, nb, batch_size)
+        return pad_rows(packed, rows_in)
 
-    stream0 = pack_split(train, rows, label_denom).reshape(r, padded)
+    if mode == "full":
+        stream0 = (pack_full(train, rows, label_denom),)
+    else:
+        # Soft-label numerator doesn't fit the word: packed (u, i, j) +
+        # a separate f32 z stream, sheared at the same positions.
+        uij = (train.u | (train.i << bits_n)
+               | (train.j << (bits_n + bits_m)))
+        stream0 = (pad_rows(uij, rows), pad_rows(train.z, rows))
     # Val labels are always hard (reference structure.py:733-735): the
-    # packed numerator is the 0/1 label itself, denominator 1.
-    vstream = pack_split(val, val.u.shape[1], 1)
+    # packed numerator is the 0/1 label itself, denominator 1 — it fits
+    # the word in both pack modes (caller-gated).
+    vrows = val.u.shape[1]
+    nvb = -(-vrows // batch_size)
+    vstream = pack_full(val, vrows, 1).reshape(r, nvb, batch_size)
 
     n_windows = -(-num_epochs // window)
     slots = jnp.arange(padded, dtype=jnp.int32)
@@ -161,7 +173,8 @@ def _train_runs_windowed(
         kprp = jax.vmap(lambda k: jax.random.split(k, 3)[0])(k0)
         sel = jax.vmap(
             lambda k, c: epoch_permutation(k, slots, c, k_bits))(kprp, count)
-        stream = jnp.take_along_axis(stream, sel, axis=1)
+        stream = tuple(
+            jnp.take_along_axis(a, sel, axis=1) for a in stream)
 
         cumb, offs = jax.vmap(
             lambda k, c: window_shear_params(k, start, window, c, batch_size)
@@ -172,8 +185,9 @@ def _train_runs_windowed(
         step0 = start.astype(jnp.float32) * nonempty
 
         state, tl, vl = pallas_train_window(
-            state, stream.reshape(r, num_batches, batch_size), vstream,
-            lr, wd, step0, count, vcount, shear, active,
+            state,
+            tuple(a.reshape(r, num_batches, batch_size) for a in stream),
+            vstream, lr, wd, step0, count, vcount, shear, active,
             pack=kernel_pack, window=window, interpret=interpret,
         )
         return (state, stream), (tl, vl)
@@ -332,11 +346,16 @@ def train_runs_pallas(
     m = params.V.shape[1]
     train_batches = -(-train.u.shape[1] // batch_size)
     val_batches = -(-val.u.shape[1] // batch_size)
-    if (period > 1 and multiepoch_enabled()
-            and _pack_spec(n, m, label_denom)[0] == "full"
+    mode, bits_n, bits_m, _ = _pack_spec(n, m, label_denom)
+    # "uij" additionally needs the 1-bit hard val label to fit the word.
+    mode_ok = (mode == "full"
+               or (mode == "uij" and bits_n + 2 * bits_m + 1 <= 31))
+    if (period > 1 and multiepoch_enabled() and mode_ok
             and stream_tile_width(batch_size) is not None
             and pallas_window_supported(n, m, d, train_batches, val_batches,
-                                        batch_size)):
+                                        batch_size,
+                                        n_streams=1 if mode == "full"
+                                        else 2)):
         return _train_runs_windowed(
             params, train, val, epochs_keys, lr, weight_decay,
             batch_size=batch_size, num_epochs=num_epochs,

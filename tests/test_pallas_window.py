@@ -142,6 +142,44 @@ def test_windowed_matches_jnp_oracle(counts, num_epochs, window):
             rtol=2e-3, atol=1e-4)
 
 
+def test_windowed_uij_mode_soft_labels(monkeypatch):
+    """Soft labels whose numerator doesn't fit the packed word run the
+    two-stream "uij" kernel branch; both streams must shear identically."""
+    K = 4
+    real = PT._pack_spec(N, M, K)
+    forced = ("uij", real[1], real[2], 0)
+    monkeypatch.setattr(PT, "_pack_spec", lambda *a: forced)
+    PT.train_runs_pallas.clear_cache()
+
+    kx = jax.random.key(30)
+    x = jax.random.normal(kx, (N, M))
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(31), 5)
+    params = init_params(k1, N, M, D)
+    base = _split(k2, x, ROWS, 70)
+    votes = jax.random.bernoulli(
+        k5, jax.nn.sigmoid(x[base.u, base.i] - x[base.u, base.j])[:, None],
+        (ROWS, K))
+    train = base._replace(z=jnp.mean(votes.astype(jnp.float32), axis=1))
+    val = _split(k3, x, VROWS)
+
+    stack1 = lambda t: jax.tree.map(lambda a: a[None], t)
+    got_params, got_tl, got_vl = PT._train_runs_windowed(
+        stack1(params), stack1(train), stack1(val), k4[None],
+        jnp.asarray([1e-2], jnp.float32), jnp.asarray([1e-3], jnp.float32),
+        batch_size=BS, num_epochs=5, label_denom=K, interpret=True,
+        window=3,
+    )
+    ref_p, ref_tl, ref_vl = window_reference(
+        params, train, val, k4, 1e-2, 1e-3, BS, 5, 3)
+    np.testing.assert_allclose(np.asarray(got_tl[0]), np.asarray(ref_tl),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_vl[0]), np.asarray(ref_vl),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_params.U[0]),
+                               np.asarray(ref_p.U), rtol=2e-3, atol=1e-4)
+    PT.train_runs_pallas.clear_cache()
+
+
 @pytest.mark.parametrize("count", [96, 100, 20, 33])
 def test_window_shear_is_bijective_on_valid_prefix(count):
     """Every cheap epoch's read order must visit each valid row exactly
