@@ -415,6 +415,15 @@ def _window_kernel(
                     delta = delta + (
                         lane < shear_ref[run, window + ee]).astype(jnp.int32)
 
+            def wrap(x):
+                # x mod full via cycle subtraction (x < 2*full + window, so
+                # a couple of iterations).  A scalar while_loop is the
+                # probe-validated primitive; lax.rem with a *traced*
+                # modulus is not, and subtract-twice breaks at full == 1.
+                fullc = jnp.maximum(full, 1)
+                return jax.lax.while_loop(
+                    lambda v: v >= fullc, lambda v: v - fullc, x)
+
             def read_row(ref, t):
                 """Sheared batch read — epoch e's batch t from ``ref``.
 
@@ -427,10 +436,9 @@ def _window_kernel(
                 if e == 0:
                     return ref[0, t, :]
                 base = t + cumb
-                row = ref[0, jax.lax.rem(base, jnp.maximum(full, 1)), :]
+                row = ref[0, wrap(base), :]
                 for k in range(1, e + 1):
-                    rk = ref[0, jax.lax.rem(
-                        base + k, jnp.maximum(full, 1)), :]
+                    rk = ref[0, wrap(base + k), :]
                     row = jnp.where(delta == k, rk, row)
                 return jnp.where(t < full, row, ref[0, t, :])
 
