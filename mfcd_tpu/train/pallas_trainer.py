@@ -340,7 +340,13 @@ def train_runs_pallas(
     pack mode "full" with VMEM-resident streams), whole reshuffle windows
     run as single kernel launches with the val pass fused in
     (:func:`_train_runs_windowed`); otherwise the per-epoch kernel path.
+
+    ``MFCD_PALLAS_INTERPRET=1`` forces interpret mode (resolved here,
+    outside the jits) — it lets the full engine run the Pallas paths on
+    CPU for integration tests.
     """
+    interpret = interpret or os.environ.get(
+        "MFCD_PALLAS_INTERPRET", "0") != "0"
     period = reshuffle_period or default_reshuffle_period()
     n, d = params.U.shape[1:]
     m = params.V.shape[1]

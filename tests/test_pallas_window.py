@@ -253,3 +253,42 @@ def test_windowed_path_selection(monkeypatch):
     PT.train_runs_pallas(*args, batch_size=BS, num_epochs=2,
                          interpret=True, reshuffle_period=4)
     assert calls == ["window"]
+
+
+def test_engine_windowed_integration(monkeypatch):
+    """Full engine (run_config -> _train_bucket_pallas -> window kernel)
+    on CPU via MFCD_PALLAS_INTERPRET: the flatten/unflatten, label_denom,
+    pow-2 row padding, and metrics wiring all hold on the windowed path,
+    and its results stay sane vs the jnp engine on the same config."""
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.core.results import validate_schema
+    from mfcd_tpu.sweep.engine import run_config
+
+    calls = []
+    orig = PT._train_runs_windowed
+    monkeypatch.setattr(
+        PT, "_train_runs_windowed",
+        lambda *a, **k: calls.append("window") or orig(*a, **k))
+    monkeypatch.setenv("MFCD_MULTIEPOCH", "1")
+    monkeypatch.setenv("MFCD_PALLAS_INTERPRET", "1")
+
+    cfg = RunConfig(n=24, m=28, d=2, p=0.4, s=3.0, lr=1e-2,
+                    weight_decay=1e-5, num_epochs=6, reps=2, K=1)
+    res = run_config(cfg, seed=3, use_pallas=True)
+    assert calls == ["window"]          # 6 epochs -> 2 window launches
+    assert not validate_schema(res)
+    tl = np.asarray(res["train_losses"], dtype=np.float64)
+    vl = np.asarray(res["val_losses"], dtype=np.float64)
+    assert tl.shape == (2, 6) and vl.shape == (2, 6)
+    assert np.isfinite(tl).all() and np.isfinite(vl).all()
+    assert (tl[:, -1] < tl[:, 0]).all()
+    assert all(0.0 <= a <= 1.0 for a in res["accuracy"])
+
+    # Same config through the jnp engine: distribution-level closeness
+    # only (the two paths realize different shuffles).
+    monkeypatch.setenv("MFCD_MULTIEPOCH", "0")
+    ref = run_config(cfg, seed=3, use_pallas=False)
+    np.testing.assert_allclose(
+        res["gt_accuracy"], ref["gt_accuracy"], atol=1e-6)  # train-free
+    assert abs(float(np.mean(res["accuracy"]))
+               - float(np.mean(ref["accuracy"]))) < 0.2
