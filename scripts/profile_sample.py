@@ -101,6 +101,29 @@ def main():
             popularity_method="zipf", alpha=1.5)),
         rep_streams, xs)
 
+    # sampler internals: propose / winner selection / fused split
+    from mfcd_tpu.sampling import first_occurrence_winners, propose_candidates
+    from mfcd_tpu.sampling.dedup import winners_to_splits
+
+    bench("propose_candidates", jax.vmap(
+        lambda st, x: propose_candidates(
+            st["sampling"], x, T_CAP, strategy="random",
+            popularity_method="zipf", alpha=1.5)), rep_streams, xs)
+    cands, cvalid = jax.jit(jax.vmap(
+        lambda st, x: propose_candidates(
+            st["sampling"], x, T_CAP, strategy="random",
+            popularity_method="zipf", alpha=1.5)))(rep_streams, xs)
+    bench("first_occurrence_winners", jax.vmap(
+        lambda c, v: first_occurrence_winners(c, v, nm_shape=(N, M))),
+        cands, cvalid)
+    win = jax.jit(jax.vmap(
+        lambda c, v: first_occurrence_winners(c, v, nm_shape=(N, M))))(
+        cands, cvalid)
+    bench("winners_to_splits", jax.vmap(
+        lambda c, w: winners_to_splits(
+            c, w, T_CAP, train_cap, val_cap, T_CAP - train_cap - val_cap,
+            key=rng.split_key())), cands, win)
+
     # the real bucket (2 configs x 4 reps)
     cfg = RunConfig(n=N, m=M, d=D, p=0.2, s=5.0, lr=1e-3,
                     weight_decay=5e-6, num_epochs=30, reps=4, K=1)
