@@ -292,3 +292,30 @@ def test_engine_windowed_integration(monkeypatch):
         res["gt_accuracy"], ref["gt_accuracy"], atol=1e-6)  # train-free
     assert abs(float(np.mean(res["accuracy"]))
                - float(np.mean(ref["accuracy"]))) < 0.2
+
+
+def test_engine_windowed_soft_label(monkeypatch):
+    """Soft labels through the windowed engine: label_denom=K flows into
+    the pack spec, and the in-kernel z = numerator/K reproduces the
+    fractional vote means on the train split."""
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.core.results import validate_schema
+    from mfcd_tpu.sweep.engine import run_config
+
+    calls = []
+    orig = PT._train_runs_windowed
+    monkeypatch.setattr(
+        PT, "_train_runs_windowed",
+        lambda *a, **k: calls.append(k["label_denom"]) or orig(*a, **k))
+    monkeypatch.setenv("MFCD_MULTIEPOCH", "1")
+    monkeypatch.setenv("MFCD_PALLAS_INTERPRET", "1")
+
+    cfg = RunConfig(n=24, m=28, d=2, p=0.4, s=3.0, lr=1e-2,
+                    weight_decay=1e-5, num_epochs=5, reps=2, K=4,
+                    soft_label=True)
+    res = run_config(cfg, seed=7, use_pallas=True)
+    assert calls == [4]
+    assert not validate_schema(res)
+    tl = np.asarray(res["train_losses"], dtype=np.float64)
+    assert tl.shape == (2, 5) and np.isfinite(tl).all()
+    assert (tl[:, -1] < tl[:, 0]).all()
