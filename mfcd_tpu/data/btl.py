@@ -132,49 +132,80 @@ def sample_and_split(
     (``SampledSplits.sample``; diagnostics only — the engine never needs
     it and leaves it empty).
     """
-    from mfcd_tpu.sampling import first_occurrence_winners, propose_candidates
-    from mfcd_tpu.sampling.dedup import _compact, winners_to_splits
+    from mfcd_tpu.sampling import (first_occurrence_winners, prp,
+                                   propose_candidates)
+    from mfcd_tpu.sampling.dedup import (_compact, ranks_to_splits,
+                                         winners_to_splits)
 
     n, m = x.shape
     train_cap = int(TRAIN_RATIO * t_cap)
     val_cap = int(VAL_RATIO * t_cap)
     test_cap = t_cap - train_cap - val_cap
 
-    cands, cvalid = propose_candidates(
-        streams["sampling"], x, t_cap,
-        strategy=strategy,
-        popularity_method=popularity_method,
-        alpha=alpha,
-        budget=budget,
-    )
-    win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
-    splits, count = winners_to_splits(
-        cands, win, t_cap, train_cap, val_cap, test_cap,
-        key=rng.split_key(), budget=budget,
-    )
-    sample = TripletSet(
-        _compact(cands, win, t_cap, budget=budget).triplets
-        if keep_sample else cands[:0], count,
-    )
+    # PRP fast path (sampling/prp.py): the sample IS a PRP prefix over the
+    # packed triplet domain — unique by bijectivity, rank = slot, count ==
+    # budget, and the test top-up continues the same permutation at
+    # [t_cap, t_cap + extra_cap), which is disjoint from the whole main
+    # block (the reference's exclude semantics for free).
+    use_prp = strategy == "random" and prp.prp_supported(
+        n, m, t_cap, extra_cap)
+    if use_prp:
+        slots = jnp.arange(t_cap, dtype=jnp.int32)
+        cands = prp.prp_triplets(streams["sampling"], n, m, slots)
+        count = jnp.asarray(
+            t_cap if budget is None else budget, jnp.int32)
+        splits = ranks_to_splits(
+            cands, slots < count, slots, count,
+            t_cap, train_cap, val_cap, test_cap, key=rng.split_key(),
+        )
+        sample = TripletSet(
+            cands if keep_sample else cands[:0], count)
+    else:
+        cands, cvalid = propose_candidates(
+            streams["sampling"], x, t_cap,
+            strategy=strategy,
+            popularity_method=popularity_method,
+            alpha=alpha,
+            budget=budget,
+        )
+        win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
+        splits, count = winners_to_splits(
+            cands, win, t_cap, train_cap, val_cap, test_cap,
+            key=rng.split_key(), budget=budget,
+        )
+        sample = TripletSet(
+            _compact(cands, win, t_cap, budget=budget).triplets
+            if keep_sample else cands[:0], count,
+        )
 
     test_triplets = splits.test
     test_count = splits.test_count
     if extra_cap > 0:
-        # The exclude set is the *kept* winner rows in place (first
-        # `budget` winners, exactly the dataset the reference excludes at
-        # ``structure.py:721-730``); the cumsum duplicates winners_to_
-        # splits' rank and is CSE'd away inside the same jit.
-        kept = win & (jnp.cumsum(win) - 1 <
-                      (t_cap if budget is None else budget))
-        extra = sample_triplets(
-            streams["extra_sampling"], x, extra_cap,
-            strategy=strategy,
-            popularity_method=popularity_method,
-            alpha=alpha,
-            exclude=cands,
-            exclude_valid=kept,
-            budget=extra_budget,
-        )
+        if use_prp:
+            ex_slots = t_cap + jnp.arange(extra_cap, dtype=jnp.int32)
+            extra = TripletSet(
+                prp.prp_triplets(streams["sampling"], n, m, ex_slots),
+                jnp.asarray(
+                    extra_cap if extra_budget is None else extra_budget,
+                    jnp.int32),
+            )
+        else:
+            # The exclude set is the *kept* winner rows in place (first
+            # `budget` winners, exactly the dataset the reference excludes
+            # at ``structure.py:721-730``); the cumsum duplicates
+            # winners_to_splits' rank and is CSE'd away inside the same
+            # jit.
+            kept = win & (jnp.cumsum(win) - 1 <
+                          (t_cap if budget is None else budget))
+            extra = sample_triplets(
+                streams["extra_sampling"], x, extra_cap,
+                strategy=strategy,
+                popularity_method=popularity_method,
+                alpha=alpha,
+                exclude=cands,
+                exclude_valid=kept,
+                budget=extra_budget,
+            )
         # Compact concatenation: valid test rows first, then valid extras.
         both = jnp.concatenate([splits.test, extra.triplets], axis=0)
         both_valid = jnp.concatenate(

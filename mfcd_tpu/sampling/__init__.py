@@ -21,7 +21,7 @@ from mfcd_tpu.sampling.dedup import (  # noqa: F401
     split_triplets,
     winners_to_splits,
 )
-from mfcd_tpu.sampling import strategies
+from mfcd_tpu.sampling import prp, strategies
 from mfcd_tpu.sampling.strategies import plan_overdraw  # noqa: F401
 
 STRATEGIES = (
@@ -68,6 +68,17 @@ def sample_triplets(
     neighbor/top-set sizes stay capacity-derived (static shapes).
     """
     n, m = x.shape
+    if (strategy == "random" and exclude is None
+            and prp.prp_supported(n, m, num_triplets)):
+        # Uniform without-replacement directly: a PRP prefix over the
+        # packed (u, i, j) domain (sampling/prp.py) — no overdraw, no
+        # dedup, count always == budget.
+        import jax.numpy as jnp
+
+        tri = prp.prp_triplets(
+            key, n, m, jnp.arange(num_triplets, dtype=jnp.int32))
+        eff = num_triplets if budget is None else budget
+        return TripletSet(tri, jnp.asarray(eff, jnp.int32))
     cands, valid = propose_candidates(
         key, x, num_triplets, strategy,
         m_draw=m_draw, popularity_method=popularity_method, alpha=alpha,

@@ -362,7 +362,33 @@ def winners_to_splits(
     rank = jnp.cumsum(win) - 1
     count = jnp.minimum(jnp.sum(win), budget).astype(jnp.int32)
     kept = win & (rank < budget)
+    return ranks_to_splits(
+        cands, kept, rank, count, t_cap, train_cap, val_cap, test_cap,
+        key=key, train_ratio=train_ratio, val_ratio=val_ratio,
+    ), count
 
+
+def ranks_to_splits(
+    cands: jax.Array,
+    kept: jax.Array,
+    rank: jax.Array,
+    count: jax.Array,
+    t_cap: int,
+    train_cap: int,
+    val_cap: int,
+    test_cap: int,
+    key: jax.Array,
+    train_ratio: float = 0.8,
+    val_ratio: float = 0.1,
+) -> SplitArrays:
+    """Rank-indexed core of :func:`winners_to_splits`.
+
+    ``rank`` assigns each kept row its position in the reference's
+    insertion order; callers whose rows are already unique and ordered
+    (the PRP random sampler, where ``rank = arange`` and
+    ``count = budget``) skip the winner cumsum entirely.  ``kept`` rows
+    must have ``rank < count``.
+    """
     from mfcd_tpu.ops.shuffle import exact_prefix_permutation
 
     k_bits = max((t_cap - 1).bit_length(), 1)
@@ -403,7 +429,7 @@ def winners_to_splits(
         val_count=jnp.minimum(val_sz, val_cap),
         test=big[train_cap + val_cap:],
         test_count=jnp.minimum(test_sz, test_cap),
-    ), count
+    )
 
 
 def overdraw_size(

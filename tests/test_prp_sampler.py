@@ -1,0 +1,138 @@
+"""PRP random sampler (sampling/prp.py): exactness + parity vs torch.
+
+The ``random`` strategy samples without replacement DIRECTLY — a keyed-PRP
+prefix over the packed (u, i, j) domain — instead of overdraw + hash dedup.
+These tests pin the load-bearing properties: bijectivity (no duplicates,
+ever), domain decode correctness, disjoint test-top-up continuation,
+exact traced-budget counts, and two-sample chi-square parity of the
+(u, i, j) marginals vs the reference rejection sampler
+(``generation_data.py:16-26``).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfcd_tpu.core import rng
+from mfcd_tpu.data.btl import sample_and_split
+from mfcd_tpu.sampling import sample_triplets
+from mfcd_tpu.sampling.prp import (prp_domain_size, prp_supported,
+                                   prp_triplets)
+
+N, M = 60, 80
+
+
+def _pack(tri, m=M):
+    return (tri[:, 0].astype(np.int64) * m + tri[:, 1]) * m + tri[:, 2]
+
+
+def test_unique_in_domain_and_disjoint_continuation():
+    t = 20000
+    tri = np.asarray(prp_triplets(jax.random.key(0), N, M,
+                                  jnp.arange(t, dtype=jnp.int32)))
+    assert (tri[:, 1] != tri[:, 2]).all()
+    assert tri.min() >= 0
+    assert tri[:, 0].max() < N and tri[:, 1:].max() < M
+    assert len(np.unique(_pack(tri))) == t
+    cont = np.asarray(prp_triplets(jax.random.key(0), N, M,
+                                   t + jnp.arange(4096, dtype=jnp.int32)))
+    assert len(np.unique(_pack(cont))) == 4096
+    assert not np.intersect1d(_pack(tri), _pack(cont)).size
+
+
+def test_full_domain_is_a_permutation():
+    n, m = 7, 9
+    dom = prp_domain_size(n, m)
+    tri = np.asarray(prp_triplets(jax.random.key(3), n, m,
+                                  jnp.arange(dom, dtype=jnp.int32)))
+    packed = (tri[:, 0] * m + tri[:, 1]) * m + tri[:, 2]
+    assert len(np.unique(packed)) == dom  # covers the whole domain once
+    # every decoded tuple is valid
+    assert (tri[:, 1] != tri[:, 2]).all()
+
+
+def test_supported_gates():
+    assert prp_supported(1000, 1000, 131072)
+    assert not prp_supported(1000, 1, 16)          # m < 2
+    assert not prp_supported(3000, 3000, 16)       # domain > int32
+    assert not prp_supported(7, 9, 7 * 9 * 8 + 1)  # blocks exceed domain
+    assert prp_supported(7, 9, 7 * 9 * 8)
+
+
+def test_sample_triplets_count_and_budget_parity():
+    x = jnp.zeros((N, M))
+    cap = 4096
+    static = sample_triplets(jax.random.key(1), x, cap, strategy="random")
+    assert int(static.count) == cap
+    # traced budget == capacity must be bit-identical to the static run
+    traced = sample_triplets(jax.random.key(1), x, cap, strategy="random",
+                             budget=jnp.int32(cap))
+    np.testing.assert_array_equal(np.asarray(static.triplets),
+                                  np.asarray(traced.triplets))
+    # smaller traced budget: exact count, same leading rows
+    small = sample_triplets(jax.random.key(1), x, cap, strategy="random",
+                            budget=jnp.int32(1000))
+    assert int(small.count) == 1000
+    np.testing.assert_array_equal(np.asarray(small.triplets)[:1000],
+                                  np.asarray(static.triplets)[:1000])
+
+
+def test_sample_and_split_prp_exactness():
+    """Through the fused split: all split rows + top-up are distinct,
+    counts are exact (80/10/10 floors), and the top-up never overlaps."""
+    x = jnp.zeros((N, M))
+    t_cap, extra_cap = 2048, 512
+    streams = rng.rep_streams(jax.random.key(5))
+    out = sample_and_split(streams, x, t_cap, extra_cap, "random")
+
+    tr = np.asarray(out.train)[: int(out.train_count)]
+    va = np.asarray(out.val)[: int(out.val_count)]
+    te = np.asarray(out.test)[: int(out.test_count)]
+    assert int(out.train_count) == int(0.8 * t_cap)
+    assert int(out.val_count) == int(0.1 * t_cap)
+    assert int(out.test_count) == (t_cap - int(0.8 * t_cap)
+                                   - int(0.1 * t_cap)) + extra_cap
+    allp = np.concatenate([_pack(tr), _pack(va), _pack(te)])
+    assert len(np.unique(allp)) == len(allp)
+    assert len(allp) == t_cap + extra_cap
+
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_random_marginal_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    scipy_stats = pytest.importorskip("scipy.stats")
+    sys.path.insert(0, REF)
+    try:
+        import generation_data
+    finally:
+        sys.path.remove(REF)
+
+    t = 12000
+    torch.manual_seed(0)
+    theirs = np.asarray(generation_data.choose_items_random(
+        torch.zeros((N, M)), t, set()))
+    ours = np.asarray(prp_triplets(jax.random.key(2), N, M,
+                                   jnp.arange(t, dtype=jnp.int32)))
+    from scipy.stats import chi2_contingency
+
+    for col, bins, name in ((0, N, "u"), (1, M, "i"), (2, M, "j")):
+        a = np.bincount(ours[:, col], minlength=bins)
+        b = np.bincount(theirs[:, col], minlength=bins)
+        keep = (a + b) > 0
+        p = chi2_contingency(np.stack([a[keep], b[keep]])).pvalue
+        assert p > 1e-3, f"{name}-marginal differs (p={p:.2e})"
+    # joint (i, j) pair marginal — catches pair-level decode bias the
+    # per-column tests can't see
+    a = np.bincount(ours[:, 1] * M + ours[:, 2], minlength=M * M)
+    b = np.bincount(theirs[:, 1] * M + theirs[:, 2], minlength=M * M)
+    keep = (a + b) > 0
+    p = chi2_contingency(np.stack([a[keep], b[keep]])).pvalue
+    assert p > 1e-3, f"(i,j)-joint differs (p={p:.2e})"
