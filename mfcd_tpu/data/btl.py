@@ -134,8 +134,7 @@ def sample_and_split(
     """
     from mfcd_tpu.sampling import (first_occurrence_winners, prp,
                                    propose_candidates)
-    from mfcd_tpu.sampling.dedup import (_compact, ranks_to_splits,
-                                         winners_to_splits)
+    from mfcd_tpu.sampling.dedup import _compact, winners_to_splits
 
     n, m = x.shape
     train_cap = int(TRAIN_RATIO * t_cap)
@@ -143,69 +142,68 @@ def sample_and_split(
     test_cap = t_cap - train_cap - val_cap
 
     # PRP fast path (sampling/prp.py): the sample IS a PRP prefix over the
-    # packed triplet domain — unique by bijectivity, rank = slot, count ==
-    # budget, and the test top-up continues the same permutation at
-    # [t_cap, t_cap + extra_cap), which is disjoint from the whole main
-    # block (the reference's exclude semantics for free).
-    use_prp = strategy == "random" and prp.prp_supported(
-        n, m, t_cap, extra_cap)
-    if use_prp:
-        slots = jnp.arange(t_cap, dtype=jnp.int32)
-        cands = prp.prp_triplets(streams["sampling"], n, m, slots)
+    # packed triplet domain — unique by bijectivity, count == budget, the
+    # test top-up continues the same permutation at [t_cap, t_cap +
+    # extra_cap) (disjoint from the whole main block: the reference's
+    # exclude semantics for free), and the split buffers are assembled by
+    # a pure map over output slots through the inverse split-PRP — no
+    # scatter, no gather, no candidate array.
+    if strategy == "random" and prp.prp_supported(n, m, t_cap, extra_cap):
         count = jnp.asarray(
             t_cap if budget is None else budget, jnp.int32)
-        splits = ranks_to_splits(
-            cands, slots < count, slots, count,
-            t_cap, train_cap, val_cap, test_cap, key=rng.split_key(),
+        extra_count = (extra_cap if extra_budget is None
+                       else extra_budget) if extra_cap > 0 else 0
+        splits = prp.prp_splits(
+            streams["sampling"], rng.split_key(), n, m,
+            t_cap, train_cap, val_cap, test_cap, count,
+            extra_cap=extra_cap, extra_count=extra_count,
         )
         sample = TripletSet(
-            cands if keep_sample else cands[:0], count)
-    else:
-        cands, cvalid = propose_candidates(
-            streams["sampling"], x, t_cap,
-            strategy=strategy,
-            popularity_method=popularity_method,
-            alpha=alpha,
-            budget=budget,
+            prp.prp_triplets(streams["sampling"], n, m,
+                             jnp.arange(t_cap, dtype=jnp.int32))
+            if keep_sample else jnp.zeros((0, 3), jnp.int32), count)
+        return SampledSplits(
+            sample=sample,
+            train=splits.train, train_count=splits.train_count,
+            val=splits.val, val_count=splits.val_count,
+            test=splits.test, test_count=splits.test_count,
         )
-        win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
-        splits, count = winners_to_splits(
-            cands, win, t_cap, train_cap, val_cap, test_cap,
-            key=rng.split_key(), budget=budget,
-        )
-        sample = TripletSet(
-            _compact(cands, win, t_cap, budget=budget).triplets
-            if keep_sample else cands[:0], count,
-        )
+
+    cands, cvalid = propose_candidates(
+        streams["sampling"], x, t_cap,
+        strategy=strategy,
+        popularity_method=popularity_method,
+        alpha=alpha,
+        budget=budget,
+    )
+    win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
+    splits, count = winners_to_splits(
+        cands, win, t_cap, train_cap, val_cap, test_cap,
+        key=rng.split_key(), budget=budget,
+    )
+    sample = TripletSet(
+        _compact(cands, win, t_cap, budget=budget).triplets
+        if keep_sample else cands[:0], count,
+    )
 
     test_triplets = splits.test
     test_count = splits.test_count
     if extra_cap > 0:
-        if use_prp:
-            ex_slots = t_cap + jnp.arange(extra_cap, dtype=jnp.int32)
-            extra = TripletSet(
-                prp.prp_triplets(streams["sampling"], n, m, ex_slots),
-                jnp.asarray(
-                    extra_cap if extra_budget is None else extra_budget,
-                    jnp.int32),
-            )
-        else:
-            # The exclude set is the *kept* winner rows in place (first
-            # `budget` winners, exactly the dataset the reference excludes
-            # at ``structure.py:721-730``); the cumsum duplicates
-            # winners_to_splits' rank and is CSE'd away inside the same
-            # jit.
-            kept = win & (jnp.cumsum(win) - 1 <
-                          (t_cap if budget is None else budget))
-            extra = sample_triplets(
-                streams["extra_sampling"], x, extra_cap,
-                strategy=strategy,
-                popularity_method=popularity_method,
-                alpha=alpha,
-                exclude=cands,
-                exclude_valid=kept,
-                budget=extra_budget,
-            )
+        # The exclude set is the *kept* winner rows in place (first
+        # `budget` winners, exactly the dataset the reference excludes at
+        # ``structure.py:721-730``); the cumsum duplicates winners_to_
+        # splits' rank and is CSE'd away inside the same jit.
+        kept = win & (jnp.cumsum(win) - 1 <
+                      (t_cap if budget is None else budget))
+        extra = sample_triplets(
+            streams["extra_sampling"], x, extra_cap,
+            strategy=strategy,
+            popularity_method=popularity_method,
+            alpha=alpha,
+            exclude=cands,
+            exclude_valid=kept,
+            budget=extra_budget,
+        )
         # Compact concatenation: valid test rows first, then valid extras.
         both = jnp.concatenate([splits.test, extra.triplets], axis=0)
         both_valid = jnp.concatenate(

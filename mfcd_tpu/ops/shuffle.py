@@ -87,6 +87,60 @@ def epoch_permutation(
     return x.astype(jnp.int32)
 
 
+def _inverse_odd(m: jax.Array) -> jax.Array:
+    """Multiplicative inverse of odd ``m`` mod 2^32 (Newton; 5 steps)."""
+    v = m
+    for _ in range(5):
+        v = v * (jnp.uint32(2) - m * v)
+    return v
+
+
+def _unmix(y: jax.Array, muls, adds, k_bits: int) -> jax.Array:
+    """Exact inverse of :func:`_mix` on [0, 2^k)."""
+    mask = jnp.uint32((1 << k_bits) - 1)
+    shift = int(max(k_bits // 2, 1))
+    inv_muls = _inverse_odd(muls)
+    for r in range(muls.shape[0] - 1, -1, -1):
+        y = (y - adds[r]) & mask
+        # Invert x ^= x >> s: the top s bits are already correct; each
+        # re-application recovers s more bits.
+        x = y
+        for _ in range(-(-k_bits // shift) - 1):
+            x = y ^ (x >> jnp.uint32(shift))
+        y = (x * inv_muls[r]) & mask
+    return y
+
+
+@partial(jax.jit, static_argnames=("k_bits",))
+def exact_prefix_permutation_inverse(
+    key: jax.Array, values: jax.Array, count, k_bits: int
+) -> jax.Array:
+    """Exact inverse of :func:`exact_prefix_permutation`.
+
+    For ``v < count``, returns the slot ``s < count`` with
+    ``exact_prefix_permutation(key, s, count, k_bits) == v`` — the
+    backward cycle walk: apply the inverse mixing until the value
+    re-enters [0, count).  Lanes with ``values >= count`` are remapped to
+    0 first (outputs meaningless, discard).  Enables gather/scatter-free
+    "who feeds output slot v" formulations (the PRP sampler's direct
+    split assembly).
+    """
+    muls, adds = _derive_constants(key)
+    count_u = jnp.maximum(jnp.uint32(count), jnp.uint32(1))
+    v = values.astype(jnp.uint32)
+    v = jnp.where(v < count_u, v, jnp.uint32(0))
+    x = _unmix(v, muls, adds, k_bits)
+
+    def cond(xv):
+        return jnp.any(xv >= count_u)
+
+    def body(xv):
+        return jnp.where(xv < count_u, xv, _unmix(xv, muls, adds, k_bits))
+
+    x = jax.lax.while_loop(cond, body, x)
+    return x.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k_bits",))
 def exact_prefix_permutation(
     key: jax.Array, slots: jax.Array, count, k_bits: int

@@ -37,7 +37,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from mfcd_tpu.ops.shuffle import exact_prefix_permutation
+from mfcd_tpu.ops.shuffle import (exact_prefix_permutation,
+                                  exact_prefix_permutation_inverse)
 
 
 def prp_domain_size(n: int, m: int) -> int:
@@ -75,3 +76,79 @@ def prp_triplets(key: jax.Array, n: int, m: int,
     jp = pair - i * (m - 1)
     j = jp + (jp >= i).astype(jnp.int32)
     return jnp.stack([u, i, j], axis=1).astype(jnp.int32)
+
+
+def prp_splits(
+    sample_key: jax.Array,
+    split_key: jax.Array,
+    n: int,
+    m: int,
+    t_cap: int,
+    train_cap: int,
+    val_cap: int,
+    test_cap: int,
+    count,
+    extra_cap: int = 0,
+    extra_count=0,
+):
+    """Assemble the 80/10/10 split buffers by a PURE MAP over output slots.
+
+    The scatter formulation (``dedup.ranks_to_splits``) sends rank ``r``
+    to split slot ``y = splitPRP(r)``; since that map is an exact
+    bijection, each output slot can instead compute its own source:
+    ``r = splitPRP^{-1}(y)`` then ``triplet = decode(tripletPRP(r))`` —
+    no scatter, no gather, no materialized candidate array.  Bit-identical
+    to scattering ``prp_triplets(sample_key, arange)`` through
+    ``ranks_to_splits`` (pinned by tests/test_prp_sampler.py).
+
+    The test top-up is folded into the same map: test slots past the
+    dataset's ``test_sz`` read the PRP continuation block at
+    ``t_cap + (off - test_sz)`` — the compact concatenation of
+    ``sample_and_split`` with zero extra passes.  The returned test
+    buffer has ``test_cap + extra_cap`` rows and its count includes the
+    top-up.
+
+    Returns a :class:`mfcd_tpu.sampling.dedup.SplitArrays`.
+    """
+    from mfcd_tpu.core.config import TRAIN_RATIO, VAL_RATIO
+    from mfcd_tpu.sampling.dedup import SplitArrays
+
+    count = jnp.asarray(count, jnp.int32)
+    extra_count = jnp.asarray(extra_count, jnp.int32)
+    train_sz = jnp.floor(TRAIN_RATIO * count).astype(jnp.int32)
+    val_sz = jnp.floor(VAL_RATIO * count).astype(jnp.int32)
+    test_sz = count - train_sz - val_sz
+    # Rows past a region's capacity are dropped, exactly as the scatter
+    # formulation drops them (ranks_to_splits' in_* cap bounds).
+    test_fit = jnp.minimum(test_sz, test_cap)
+
+    total = train_cap + val_cap + (test_cap + extra_cap)
+    o = jnp.arange(total, dtype=jnp.int32)
+    in_tr = o < train_cap
+    in_va = (o >= train_cap) & (o < train_cap + val_cap)
+    off = jnp.where(
+        in_tr, o,
+        jnp.where(in_va, o - train_cap, o - train_cap - val_cap))
+    base = jnp.where(in_tr, 0, jnp.where(in_va, train_sz,
+                                         train_sz + val_sz))
+    sz = jnp.where(in_tr, train_sz, jnp.where(in_va, val_sz, test_fit))
+    is_data = off < sz
+    # Top-up continuation: test slots just past the dataset rows.
+    is_extra = (~in_tr) & (~in_va) & (off >= test_fit) \
+        & (off - test_fit < extra_count)
+
+    y = jnp.where(is_data, base + off, 0)
+    k_bits = max((t_cap - 1).bit_length(), 1)
+    r = exact_prefix_permutation_inverse(split_key, y, count, k_bits)
+    slots = jnp.where(is_extra, t_cap + (off - test_fit), r)
+    tri = prp_triplets(sample_key, n, m, slots)
+    big = jnp.where((is_data | is_extra)[:, None], tri, 0)
+
+    return SplitArrays(
+        train=big[:train_cap],
+        train_count=jnp.minimum(train_sz, train_cap),
+        val=big[train_cap:train_cap + val_cap],
+        val_count=jnp.minimum(val_sz, val_cap),
+        test=big[train_cap + val_cap:],
+        test_count=jnp.minimum(test_sz, test_cap) + extra_count,
+    )

@@ -102,6 +102,52 @@ def test_sample_and_split_prp_exactness():
     assert len(allp) == t_cap + extra_cap
 
 
+@pytest.mark.parametrize("count,extra_count", [
+    (2048, 512), (1700, 300), (2048, 0), (1, 1), (2047, 512),
+])
+def test_direct_assembly_bit_equals_scatter(count, extra_count):
+    """prp_splits' inverse-PRP pure-map assembly must be BIT-IDENTICAL to
+    scattering the forward PRP rows through ranks_to_splits + the compact
+    top-up concatenation (the formulation it replaced)."""
+    from mfcd_tpu.core.config import TRAIN_RATIO, VAL_RATIO
+    from mfcd_tpu.sampling.dedup import ranks_to_splits
+    from mfcd_tpu.sampling.prp import prp_splits
+
+    t_cap, extra_cap = 2048, 512
+    train_cap = int(TRAIN_RATIO * t_cap)
+    val_cap = int(VAL_RATIO * t_cap)
+    test_cap = t_cap - train_cap - val_cap
+    skey = jax.random.key(11)
+    fkey = rng.split_key()
+
+    got = prp_splits(skey, fkey, N, M, t_cap, train_cap, val_cap, test_cap,
+                     jnp.int32(count), extra_cap=extra_cap,
+                     extra_count=jnp.int32(extra_count))
+
+    # Oracle: forward rows + scatter split + concat-compact top-up.
+    slots = jnp.arange(t_cap, dtype=jnp.int32)
+    cands = prp_triplets(skey, N, M, slots)
+    ref = ranks_to_splits(cands, slots < count, slots, jnp.int32(count),
+                          t_cap, train_cap, val_cap, test_cap, key=fkey)
+    ex = prp_triplets(skey, N, M, t_cap + jnp.arange(extra_cap))
+    both = jnp.concatenate([ref.test, ex], axis=0)
+    both_valid = jnp.concatenate(
+        [jnp.arange(test_cap) < ref.test_count,
+         jnp.arange(extra_cap) < extra_count])
+    pos = jnp.cumsum(both_valid) - 1
+    cap = test_cap + extra_cap
+    to = jnp.where(both_valid, pos, cap)
+    ref_test = jnp.zeros((cap, 3), jnp.int32).at[to].set(both, mode="drop")
+
+    np.testing.assert_array_equal(np.asarray(got.train),
+                                  np.asarray(ref.train))
+    np.testing.assert_array_equal(np.asarray(got.val), np.asarray(ref.val))
+    np.testing.assert_array_equal(np.asarray(got.test), np.asarray(ref_test))
+    assert int(got.train_count) == int(ref.train_count)
+    assert int(got.val_count) == int(ref.val_count)
+    assert int(got.test_count) == int(ref.test_count) + extra_count
+
+
 REF = "/root/reference"
 
 
