@@ -142,25 +142,37 @@ def sample_and_split(
     test_cap = t_cap - train_cap - val_cap
 
     # PRP fast path (sampling/prp.py): the sample IS a PRP prefix over the
-    # packed triplet domain — unique by bijectivity, count == budget, the
-    # test top-up continues the same permutation at [t_cap, t_cap +
+    # strategy's proposal domain — unique by bijectivity, count == budget,
+    # the test top-up continues the same permutation at [t_cap, t_cap +
     # extra_cap) (disjoint from the whole main block: the reference's
     # exclude semantics for free), and the split buffers are assembled by
     # a pure map over output slots through the inverse split-PRP — no
-    # scatter, no gather, no candidate array.
+    # scatter, no hash table, no candidate array.
+    dom = decode = None
     if strategy == "random" and prp.prp_supported(n, m, t_cap, extra_cap):
+        dom = prp.prp_domain_size(n, m)
+        decode = lambda idx: prp.decode_random(idx, n, m)  # noqa: E731
+    elif (strategy == "proximity"
+          and prp.proximity_prp_supported(n, m, t_cap, extra_cap)):
+        kk = min(prp.PROXIMITY_K, m)
+        top_idx, bot_idx = prp.proximity_tables(x)
+        dom = n * kk * kk
+        decode = lambda idx: prp.decode_proximity(  # noqa: E731
+            idx, kk, top_idx, bot_idx)
+    if dom is not None:
         count = jnp.asarray(
             t_cap if budget is None else budget, jnp.int32)
         extra_count = (extra_cap if extra_budget is None
                        else extra_budget) if extra_cap > 0 else 0
         splits = prp.prp_splits(
-            streams["sampling"], rng.split_key(), n, m,
+            streams["sampling"], rng.split_key(), dom, decode,
             t_cap, train_cap, val_cap, test_cap, count,
             extra_cap=extra_cap, extra_count=extra_count,
         )
         sample = TripletSet(
-            prp.prp_triplets(streams["sampling"], n, m,
-                             jnp.arange(t_cap, dtype=jnp.int32))
+            decode(prp.prp_indices(
+                streams["sampling"], jnp.arange(t_cap, dtype=jnp.int32),
+                dom))
             if keep_sample else jnp.zeros((0, 3), jnp.int32), count)
         return SampledSplits(
             sample=sample,

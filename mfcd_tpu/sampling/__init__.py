@@ -68,17 +68,27 @@ def sample_triplets(
     neighbor/top-set sizes stay capacity-derived (static shapes).
     """
     n, m = x.shape
-    if (strategy == "random" and exclude is None
-            and prp.prp_supported(n, m, num_triplets)):
+    if exclude is None:
         # Uniform without-replacement directly: a PRP prefix over the
-        # packed (u, i, j) domain (sampling/prp.py) — no overdraw, no
+        # strategy's proposal domain (sampling/prp.py) — no overdraw, no
         # dedup, count always == budget.
         import jax.numpy as jnp
 
-        tri = prp.prp_triplets(
-            key, n, m, jnp.arange(num_triplets, dtype=jnp.int32))
-        eff = num_triplets if budget is None else budget
-        return TripletSet(tri, jnp.asarray(eff, jnp.int32))
+        tri = None
+        if strategy == "random" and prp.prp_supported(n, m, num_triplets):
+            tri = prp.prp_triplets(
+                key, n, m, jnp.arange(num_triplets, dtype=jnp.int32))
+        elif (strategy == "proximity"
+              and prp.proximity_prp_supported(n, m, num_triplets)):
+            kk = min(prp.PROXIMITY_K, m)
+            top_idx, bot_idx = prp.proximity_tables(x)
+            idx = prp.prp_indices(
+                key, jnp.arange(num_triplets, dtype=jnp.int32),
+                n * kk * kk)
+            tri = prp.decode_proximity(idx, kk, top_idx, bot_idx)
+        if tri is not None:
+            eff = num_triplets if budget is None else budget
+            return TripletSet(tri, jnp.asarray(eff, jnp.int32))
     cands, valid = propose_candidates(
         key, x, num_triplets, strategy,
         m_draw=m_draw, popularity_method=popularity_method, alpha=alpha,

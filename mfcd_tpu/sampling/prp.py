@@ -1,13 +1,13 @@
-"""Direct sampling-without-replacement for the ``random`` strategy.
+"""Direct sampling-without-replacement via keyed permutation prefixes.
 
-The reference's random sampler (``generation_data.py:16-26``) is a
-rejection loop: draw (u, i, j) uniformly (u ~ U[n]; i, j ~ U[m], retry
-i == j), insert into a set, stop at ``num_triplets`` — i.e. a uniformly
-random T-subset of the domain D = [n] x {(i, j) : i != j}, in uniform
-order.  A keyed pseudorandom permutation gives that *directly*: the first
-T values of a PRP over [0, |D|) are a uniform sample without replacement,
-so decoding ``prp(key, arange(T))`` by mixed radix reproduces the
-rejection loop's output distribution with
+The reference's ``random`` and ``proximity`` samplers
+(``generation_data.py:16-26, 29-43``) are rejection loops over a finite
+proposal domain with uniform proposals: draw, reject duplicates, stop at
+``num_triplets`` — i.e. a uniformly random T-subset of the domain, in
+uniform order.  A keyed pseudorandom permutation gives that *directly*:
+the first T values of a PRP over [0, |D|) are a uniform sample without
+replacement, so decoding ``prp(key, arange(T))`` reproduces the rejection
+loop's output distribution with
 
 - zero overdraw (the legacy path draws ~1.3x proposals),
 - no hash table / scatter-min winner selection (the 2^20-24-slot table
@@ -19,15 +19,28 @@ rejection loop's output distribution with
   dataset, the continuation block is exchangeable with any uniform
   without-replacement draw from the unseen remainder.
 
+Domains:
+
+- random: D = [n] x {(i, j) : i != j}, decoded by mixed radix
+  (:func:`decode_random`).
+- proximity: D = [n] x [kk] x [kk] position tuples mapped through the
+  per-user top-kk / bottom-kk index tables (:func:`decode_proximity`).
+  The map is injective (top-k indices are distinct per row, so the
+  position is recoverable from the item), and when ``m >= 2*kk`` the top
+  and bottom index sets are provably disjoint, so ``i != j`` always —
+  dedup on positions IS dedup on (u, i, j) and no rejection can occur.
+
 PRP quality (vs a true uniform permutation) is the same 3-round keyed
 mixing already trusted for epoch shuffles (``ops/shuffle.py``);
-distribution-level parity vs the torch sampler is pinned by the
-chi-square suite (tests/test_sampler_parity.py).
+distribution-level parity vs the torch samplers is pinned by the
+chi-square suites (tests/test_prp_sampler.py, tests/test_sampler_parity.py,
+tests/test_reference_parity.py).
 
-Gated by :func:`prp_supported`: the packed domain must fit int32 and the
-requested blocks must fit the domain.  ``MFCD_PRP_SAMPLER=0`` is an
-emergency kill switch (read at trace time, like MFCD_RESHUFFLE_PERIOD —
-set it before the first sampling call in a process).
+Gated by :func:`prp_supported` / :func:`proximity_prp_supported`: the
+packed domain must fit int32 and the requested blocks must fit the
+domain.  ``MFCD_PRP_SAMPLER=0`` is an emergency kill switch (read at
+trace time, like MFCD_RESHUFFLE_PERIOD — set it before the first
+sampling call in a process).
 """
 
 from __future__ import annotations
@@ -40,6 +53,12 @@ import jax.numpy as jnp
 from mfcd_tpu.ops.shuffle import (exact_prefix_permutation,
                                   exact_prefix_permutation_inverse)
 
+PROXIMITY_K = 100  # reference default (generation_data.py:29)
+
+
+def _env_enabled() -> bool:
+    return os.environ.get("MFCD_PRP_SAMPLER", "1") != "0"
+
 
 def prp_domain_size(n: int, m: int) -> int:
     """|D| = n * m * (m - 1) ordered (u, i, j) tuples with i != j."""
@@ -47,15 +66,43 @@ def prp_domain_size(n: int, m: int) -> int:
 
 
 def prp_supported(n: int, m: int, *blocks: int) -> bool:
-    """Whether the PRP fast path applies for ``sum(blocks)`` slots.
-
-    Requires m >= 2, an int32-packable domain, every slot inside the
-    domain, and the trace-time env gate.
-    """
-    if os.environ.get("MFCD_PRP_SAMPLER", "1") == "0":
-        return False
+    """Random-strategy gate: packable domain, blocks fit, env on."""
     dom = prp_domain_size(n, m)
-    return m >= 2 and dom < 2**31 and sum(int(b) for b in blocks) <= dom
+    return (_env_enabled() and m >= 2 and dom < 2**31
+            and sum(int(b) for b in blocks) <= dom)
+
+
+def proximity_prp_supported(n: int, m: int, *blocks: int,
+                            k: int = PROXIMITY_K) -> bool:
+    """Proximity-strategy gate.
+
+    Additionally requires ``m >= 2*kk`` so the top/bottom index sets are
+    disjoint (an index among the kk largest cannot also be among the kk
+    smallest) — then i != j holds for every domain tuple and the
+    rejection probability is exactly zero.
+    """
+    kk = min(int(k), int(m))
+    dom = int(n) * kk * kk
+    return (_env_enabled() and m >= 2 * kk and dom < 2**31
+            and sum(int(b) for b in blocks) <= dom)
+
+
+def prp_indices(key: jax.Array, slots: jax.Array, dom: int) -> jax.Array:
+    """Evaluate the exact domain PRP at ``slots`` (distinct, in [0, dom))."""
+    k_bits = max((dom - 1).bit_length(), 1)
+    return exact_prefix_permutation(key, slots.astype(jnp.int32), dom,
+                                    k_bits)
+
+
+def decode_random(idx: jax.Array, n: int, m: int) -> jax.Array:
+    """Mixed-radix decode of a random-domain index into (u, i, j), i != j."""
+    pairs_per_u = m * (m - 1)
+    u = idx // pairs_per_u
+    pair = idx - u * pairs_per_u
+    i = pair // (m - 1)
+    jp = pair - i * (m - 1)
+    j = jp + (jp >= i).astype(jnp.int32)
+    return jnp.stack([u, i, j], axis=1).astype(jnp.int32)
 
 
 def prp_triplets(key: jax.Array, n: int, m: int,
@@ -66,23 +113,40 @@ def prp_triplets(key: jax.Array, n: int, m: int,
     distinct triplets (bijectivity).  Any disjoint slot blocks under the
     SAME key are disjoint triplet sets (the test top-up continuation).
     """
-    dom = prp_domain_size(n, m)
-    k_bits = max((dom - 1).bit_length(), 1)
-    idx = exact_prefix_permutation(key, slots.astype(jnp.int32), dom, k_bits)
-    pairs_per_u = m * (m - 1)
-    u = idx // pairs_per_u
-    pair = idx - u * pairs_per_u
-    i = pair // (m - 1)
-    jp = pair - i * (m - 1)
-    j = jp + (jp >= i).astype(jnp.int32)
-    return jnp.stack([u, i, j], axis=1).astype(jnp.int32)
+    return decode_random(prp_indices(key, slots, prp_domain_size(n, m)),
+                         n, m)
+
+
+def proximity_tables(x: jax.Array, k: int = PROXIMITY_K):
+    """Per-user top-kk / bottom-kk item-index tables ([n, kk] int32 each).
+
+    Matches the reference's ``torch.topk(scores)`` / ``torch.topk(-scores)``
+    index sets (``generation_data.py:36-37``); ties have probability zero
+    for continuous X.
+    """
+    kk = min(int(k), x.shape[1])
+    top = jax.lax.top_k(x, kk)[1].astype(jnp.int32)
+    bot = jax.lax.top_k(-x, kk)[1].astype(jnp.int32)
+    return top, bot
+
+
+def decode_proximity(idx: jax.Array, kk: int, top_idx: jax.Array,
+                     bot_idx: jax.Array) -> jax.Array:
+    """Decode a proximity-domain index (u, a, b) -> (u, top[u,a], bot[u,b])."""
+    per_u = kk * kk
+    u = idx // per_u
+    rest = idx - u * per_u
+    a = rest // kk
+    b = rest - a * kk
+    return jnp.stack([u, top_idx[u, a], bot_idx[u, b]],
+                     axis=1).astype(jnp.int32)
 
 
 def prp_splits(
     sample_key: jax.Array,
     split_key: jax.Array,
-    n: int,
-    m: int,
+    dom: int,
+    decode,
     t_cap: int,
     train_cap: int,
     val_cap: int,
@@ -96,10 +160,10 @@ def prp_splits(
     The scatter formulation (``dedup.ranks_to_splits``) sends rank ``r``
     to split slot ``y = splitPRP(r)``; since that map is an exact
     bijection, each output slot can instead compute its own source:
-    ``r = splitPRP^{-1}(y)`` then ``triplet = decode(tripletPRP(r))`` —
+    ``r = splitPRP^{-1}(y)`` then ``triplet = decode(domPRP(r))`` —
     no scatter, no gather, no materialized candidate array.  Bit-identical
-    to scattering ``prp_triplets(sample_key, arange)`` through
-    ``ranks_to_splits`` (pinned by tests/test_prp_sampler.py).
+    to scattering the forward rows through ``ranks_to_splits`` (pinned by
+    tests/test_prp_sampler.py).
 
     The test top-up is folded into the same map: test slots past the
     dataset's ``test_sz`` read the PRP continuation block at
@@ -107,6 +171,9 @@ def prp_splits(
     ``sample_and_split`` with zero extra passes.  The returned test
     buffer has ``test_cap + extra_cap`` rows and its count includes the
     top-up.
+
+    ``decode`` maps [T] domain indices to [T, 3] triplets
+    (:func:`decode_random` / :func:`decode_proximity` partials).
 
     Returns a :class:`mfcd_tpu.sampling.dedup.SplitArrays`.
     """
@@ -141,7 +208,7 @@ def prp_splits(
     k_bits = max((t_cap - 1).bit_length(), 1)
     r = exact_prefix_permutation_inverse(split_key, y, count, k_bits)
     slots = jnp.where(is_extra, t_cap + (off - test_fit), r)
-    tri = prp_triplets(sample_key, n, m, slots)
+    tri = decode(prp_indices(sample_key, slots, dom))
     big = jnp.where((is_data | is_extra)[:, None], tri, 0)
 
     return SplitArrays(

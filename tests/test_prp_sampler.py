@@ -111,7 +111,8 @@ def test_direct_assembly_bit_equals_scatter(count, extra_count):
     top-up concatenation (the formulation it replaced)."""
     from mfcd_tpu.core.config import TRAIN_RATIO, VAL_RATIO
     from mfcd_tpu.sampling.dedup import ranks_to_splits
-    from mfcd_tpu.sampling.prp import prp_splits
+    from mfcd_tpu.sampling.prp import (decode_random, prp_domain_size,
+                                       prp_splits)
 
     t_cap, extra_cap = 2048, 512
     train_cap = int(TRAIN_RATIO * t_cap)
@@ -120,7 +121,9 @@ def test_direct_assembly_bit_equals_scatter(count, extra_count):
     skey = jax.random.key(11)
     fkey = rng.split_key()
 
-    got = prp_splits(skey, fkey, N, M, t_cap, train_cap, val_cap, test_cap,
+    got = prp_splits(skey, fkey, prp_domain_size(N, M),
+                     lambda idx: decode_random(idx, N, M),
+                     t_cap, train_cap, val_cap, test_cap,
                      jnp.int32(count), extra_cap=extra_cap,
                      extra_count=jnp.int32(extra_count))
 
@@ -148,7 +151,75 @@ def test_direct_assembly_bit_equals_scatter(count, extra_count):
     assert int(got.test_count) == int(ref.test_count) + extra_count
 
 
+def test_proximity_prp_membership_and_uniqueness():
+    """Proximity PRP path: every i in u's top set, every j in u's bottom
+    set, tuples unique, i != j always (m >= 2*kk makes the sets disjoint)."""
+    from mfcd_tpu.sampling.prp import proximity_prp_supported
+
+    n, m, kk = 40, 64, 20
+    assert proximity_prp_supported(n, m, 5000, k=kk)
+    assert not proximity_prp_supported(n, 30, 100, k=kk)  # m < 2*kk
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(n, m)),
+                    jnp.float32)
+    from mfcd_tpu.sampling.prp import (decode_proximity, prp_indices,
+                                       proximity_tables)
+
+    top, bot = proximity_tables(x, k=kk)
+    t = 5000
+    tri = np.asarray(decode_proximity(
+        prp_indices(jax.random.key(4), jnp.arange(t), n * kk * kk),
+        kk, top, bot))
+    topn, botn = np.asarray(top), np.asarray(bot)
+    assert len(np.unique(_pack(tri, m))) == t
+    assert (tri[:, 1] != tri[:, 2]).all()
+    for col, table in ((1, topn), (2, botn)):
+        ok = (table[tri[:, 0]] == tri[:, col][:, None]).any(axis=1)
+        assert ok.all()
+
+
+def test_proximity_engine_fast_path():
+    """sample_triplets routes proximity through the PRP path at the
+    production shape class and returns exact counts."""
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(50, 220)),
+                    jnp.float32)
+    out = sample_triplets(jax.random.key(6), x, 4096, strategy="proximity")
+    assert int(out.count) == 4096
+    tri = np.asarray(out.triplets)
+    assert len(np.unique(_pack(tri, 220))) == 4096
+
+
 REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_proximity_marginal_parity_vs_torch():
+    """Two-sample chi-square of (u, i, j) marginals vs the reference
+    proximity sampler on the same X (generation_data.py:29-43)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("scipy")
+    sys.path.insert(0, REF)
+    try:
+        import generation_data
+    finally:
+        sys.path.remove(REF)
+    from scipy.stats import chi2_contingency
+
+    n, m = 40, 220  # m >= 2 * kk with the reference k=100 -> kk=100
+    x_np = np.random.default_rng(9).normal(size=(n, m)).astype(np.float32)
+    t = 8000
+    torch.manual_seed(1)
+    np.random.seed(1)
+    theirs = np.asarray(generation_data.choose_items_by_proximity(
+        torch.tensor(x_np), t, set()))
+    ours = np.asarray(sample_triplets(
+        jax.random.key(8), jnp.asarray(x_np), t, strategy="proximity"
+    ).triplets)
+    for col, bins, name in ((0, n, "u"), (1, m, "i"), (2, m, "j")):
+        a = np.bincount(ours[:, col], minlength=bins)
+        b = np.bincount(theirs[:, col], minlength=bins)
+        keep = (a + b) > 0
+        p = chi2_contingency(np.stack([a[keep], b[keep]])).pvalue
+        assert p > 1e-3, f"{name}-marginal differs (p={p:.2e})"
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
