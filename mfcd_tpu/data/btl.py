@@ -149,6 +149,7 @@ def sample_and_split(
     # a pure map over output slots through the inverse split-PRP — no
     # scatter, no hash table, no candidate array.
     dom = decode = None
+    sample_key = streams["sampling"]
     if strategy == "random" and prp.prp_supported(n, m, t_cap, extra_cap):
         dom = prp.prp_domain_size(n, m)
         decode = lambda idx: prp.decode_random(idx, n, m)  # noqa: E731
@@ -159,20 +160,36 @@ def sample_and_split(
         dom = n * kk * kk
         decode = lambda idx: prp.decode_proximity(  # noqa: E731
             idx, kk, top_idx, bot_idx)
+    elif strategy == "top_k" and prp.topk_prp_supported(n, m, t_cap,
+                                                        extra_cap):
+        top_idx = prp.topk_table(x)
+        kk = top_idx.shape[1]
+        dom = n * kk * (kk - 1)
+        decode = lambda idx: prp.decode_top_k(  # noqa: E731
+            idx, kk, top_idx)
+    elif strategy == "svd" and prp.svd_prp_supported(n, m, t_cap,
+                                                     extra_cap):
+        from mfcd_tpu.sampling.strategies import svd_tables
+
+        k_tbl, sample_key = jax.random.split(streams["sampling"])
+        top_users, top_items = svd_tables(k_tbl, x, t_cap, budget=budget)
+        nu, mt = top_users.shape[0], top_items.shape[0]
+        dom = nu * mt * (mt - 1)
+        decode = lambda idx: prp.decode_svd(  # noqa: E731
+            idx, mt, top_users, top_items)
     if dom is not None:
         count = jnp.asarray(
             t_cap if budget is None else budget, jnp.int32)
         extra_count = (extra_cap if extra_budget is None
                        else extra_budget) if extra_cap > 0 else 0
         splits = prp.prp_splits(
-            streams["sampling"], rng.split_key(), dom, decode,
+            sample_key, rng.split_key(), dom, decode,
             t_cap, train_cap, val_cap, test_cap, count,
             extra_cap=extra_cap, extra_count=extra_count,
         )
         sample = TripletSet(
             decode(prp.prp_indices(
-                streams["sampling"], jnp.arange(t_cap, dtype=jnp.int32),
-                dom))
+                sample_key, jnp.arange(t_cap, dtype=jnp.int32), dom))
             if keep_sample else jnp.zeros((0, 3), jnp.int32), count)
         return SampledSplits(
             sample=sample,

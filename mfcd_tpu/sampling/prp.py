@@ -29,6 +29,22 @@ Domains:
   position is recoverable from the item), and when ``m >= 2*kk`` the top
   and bottom index sets are provably disjoint, so ``i != j`` always —
   dedup on positions IS dedup on (u, i, j) and no rejection can occur.
+- top_k: D = [n] x {(a, b) in [kk]^2 : a != b} through the per-user
+  top-kk table (:func:`decode_top_k`); the reference redraws j until
+  j != i inside one user's top set (``generation_data.py:189-224``),
+  i.e. uniform over ordered distinct position pairs, and per-row
+  distinct indices make position dedup triplet dedup with i != j exact.
+- svd: D = [n_top] x {(a, b) in [m_top]^2 : a != b} through the global
+  top-user / top-item norm tables (:func:`decode_svd`); the reference
+  draws u from ``top_users`` and an ordered distinct item pair from
+  ``top_items`` (``generation_data.py:128-179``), both tables have
+  distinct entries, so the decode is injective and i != j exact.
+
+The non-uniform proposals (popularity's zipf/exponential weights,
+variance's multinomial, cluster's size-dependent within-cluster draws)
+and the data-dependent acceptances (margin's score window,
+user_similarity's neighbor sets) are NOT uniform subsets of a static
+domain — they keep the overdraw -> dedup path.
 
 PRP quality (vs a true uniform permutation) is the same 3-round keyed
 mixing already trusted for epoch shuffles (``ops/shuffle.py``);
@@ -94,14 +110,19 @@ def prp_indices(key: jax.Array, slots: jax.Array, dom: int) -> jax.Array:
                                     k_bits)
 
 
+def _pair_decode(pair: jax.Array, k: int):
+    """Decode pair in [0, k(k-1)) into ordered distinct (a, b), a != b."""
+    a = pair // (k - 1)
+    bp = pair - a * (k - 1)
+    b = bp + (bp >= a).astype(jnp.int32)
+    return a, b
+
+
 def decode_random(idx: jax.Array, n: int, m: int) -> jax.Array:
     """Mixed-radix decode of a random-domain index into (u, i, j), i != j."""
     pairs_per_u = m * (m - 1)
     u = idx // pairs_per_u
-    pair = idx - u * pairs_per_u
-    i = pair // (m - 1)
-    jp = pair - i * (m - 1)
-    j = jp + (jp >= i).astype(jnp.int32)
+    i, j = _pair_decode(idx - u * pairs_per_u, m)
     return jnp.stack([u, i, j], axis=1).astype(jnp.int32)
 
 
@@ -139,6 +160,66 @@ def decode_proximity(idx: jax.Array, kk: int, top_idx: jax.Array,
     a = rest // kk
     b = rest - a * kk
     return jnp.stack([u, top_idx[u, a], bot_idx[u, b]],
+                     axis=1).astype(jnp.int32)
+
+
+def topk_prp_supported(n: int, m: int, *blocks: int,
+                       k: int | None = None) -> bool:
+    """top_k-strategy gate: kk >= 2, packable domain, blocks fit, env on.
+
+    ``kk`` defaults to the reference's ``min(m, max(5, 0.1 m))``
+    (``generation_data.py:199``, :func:`strategies.top_k_value`).
+    """
+    from mfcd_tpu.sampling.strategies import top_k_value
+
+    kk = top_k_value(m) if k is None else min(int(k), int(m))
+    dom = int(n) * kk * (kk - 1)
+    return (_env_enabled() and kk >= 2 and dom < 2**31
+            and sum(int(b) for b in blocks) <= dom)
+
+
+def topk_table(x: jax.Array, k: int | None = None) -> jax.Array:
+    """Per-user top-kk item-index table ([n, kk] int32).
+
+    Matches ``torch.topk(scores, k).indices`` (``generation_data.py:207``).
+    """
+    from mfcd_tpu.sampling.strategies import top_k_value
+
+    kk = top_k_value(x.shape[1]) if k is None else min(int(k), x.shape[1])
+    return jax.lax.top_k(x, kk)[1].astype(jnp.int32)
+
+
+def decode_top_k(idx: jax.Array, kk: int, top_idx: jax.Array) -> jax.Array:
+    """Decode a top_k-domain index (u, a, b) -> (u, top[u,a], top[u,b])."""
+    per_u = kk * (kk - 1)
+    u = idx // per_u
+    a, b = _pair_decode(idx - u * per_u, kk)
+    return jnp.stack([u, top_idx[u, a], top_idx[u, b]],
+                     axis=1).astype(jnp.int32)
+
+
+def svd_dims(n: int, m: int, top_fraction: float = 0.3):
+    """(num_top_users, num_top_items) (``generation_data.py:156-157``)."""
+    return (max(1, int(top_fraction * n)), max(2, int(top_fraction * m)))
+
+
+def svd_prp_supported(n: int, m: int, *blocks: int,
+                      top_fraction: float = 0.3) -> bool:
+    """svd-strategy gate: packable top-set domain, blocks fit, env on."""
+    nu, mt = svd_dims(n, m, top_fraction)
+    dom = nu * mt * (mt - 1)
+    return (_env_enabled() and mt >= 2 and dom < 2**31
+            and sum(int(b) for b in blocks) <= dom)
+
+
+def decode_svd(idx: jax.Array, mt: int, top_users: jax.Array,
+               top_items: jax.Array) -> jax.Array:
+    """Decode an svd-domain index (us, a, b) ->
+    (top_users[us], top_items[a], top_items[b])."""
+    per_u = mt * (mt - 1)
+    us = idx // per_u
+    a, b = _pair_decode(idx - us * per_u, mt)
+    return jnp.stack([top_users[us], top_items[a], top_items[b]],
                      axis=1).astype(jnp.int32)
 
 

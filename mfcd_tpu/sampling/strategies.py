@@ -201,21 +201,23 @@ def svd_rank(num_triplets: int, n: int, m: int) -> int:
     return max(1, int(num_triplets / (n * m) * max(n, m)))
 
 
-def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
-                budget=None):
-    """``num_triplets`` (static) sizes the truncated decomposition; the
+def svd_tables(key, x, num_triplets: int, top_fraction: float = 0.3,
+               budget=None):
+    """Top-user / top-item index tables by latent-projection norm.
+
+    ``num_triplets`` (static) sizes the truncated decomposition; the
     optional traced ``budget`` masks the active rank down to the exact
     budget's ``svd_rank`` so one compiled program serves a capacity
     bucket of sparsities (components beyond the exact rank are zeroed
-    before the norm/top-fraction selection)."""
+    before the norm/top-fraction selection).  Shared by the overdraw
+    proposal path and the PRP prefix path (``prp.decode_svd``)."""
     n, m = x.shape
-    kp, key = jax.random.split(key)
     rank = min(svd_rank(num_triplets, n, m), min(n, m))
     # Truncated SVD via randomized subspace iteration (the reference uses
     # scipy's Lanczos svds, ``generation_data.py:149``); only the leading
     # ``rank`` projection norms matter for the top-fraction selection.
     q = min(rank + 8, min(n, m))
-    u_full, s, vt = randomized_svd(x, q, kp)
+    u_full, s, vt = randomized_svd(x, q, key)
     if budget is None:
         rank_mask = jnp.ones((rank,), jnp.float32)
     else:
@@ -233,6 +235,17 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
     num_top_items = max(2, int(top_fraction * m))
     _, top_users = jax.lax.top_k(user_norms, num_top_users)
     _, top_items = jax.lax.top_k(item_norms, num_top_items)
+    return top_users.astype(jnp.int32), top_items.astype(jnp.int32)
+
+
+def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
+                budget=None):
+    """Overdraw proposals from the :func:`svd_tables` top sets."""
+    n, m = x.shape
+    kp, key = jax.random.split(key)
+    top_users, top_items = svd_tables(
+        kp, x, num_triplets, top_fraction=top_fraction, budget=budget)
+    num_top_users, num_top_items = top_users.shape[0], top_items.shape[0]
 
     ku, kp = jax.random.split(key)
     u = top_users[jax.random.randint(ku, (m_draw,), 0, num_top_users)]

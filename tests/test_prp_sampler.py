@@ -188,6 +188,79 @@ def test_proximity_engine_fast_path():
     assert len(np.unique(_pack(tri, 220))) == 4096
 
 
+def test_topk_prp_membership_and_uniqueness():
+    """top_k PRP path: i and j both in u's top set, distinct, unique
+    tuples; kk follows the reference's min(m, max(5, 0.1m))."""
+    from mfcd_tpu.sampling.prp import (decode_top_k, prp_indices,
+                                       topk_prp_supported, topk_table)
+
+    n, m = 40, 220                      # kk = 22
+    assert topk_prp_supported(n, m, 8000)
+    assert not topk_prp_supported(n, m, n * 22 * 21 + 1)  # blocks > domain
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(n, m)),
+                    jnp.float32)
+    top = topk_table(x)
+    kk = top.shape[1]
+    assert kk == 22
+    t = 8000
+    tri = np.asarray(decode_top_k(
+        prp_indices(jax.random.key(12), jnp.arange(t), n * kk * (kk - 1)),
+        kk, top))
+    topn = np.asarray(top)
+    assert len(np.unique(_pack(tri, m))) == t
+    assert (tri[:, 1] != tri[:, 2]).all()
+    for col in (1, 2):
+        ok = (topn[tri[:, 0]] == tri[:, col][:, None]).any(axis=1)
+        assert ok.all()
+
+
+def test_svd_prp_membership_and_uniqueness():
+    """svd PRP path: u from the top-user set, i/j distinct from the
+    top-item set, unique tuples; tables shared with the overdraw path."""
+    from mfcd_tpu.sampling.prp import (decode_svd, prp_indices, svd_dims,
+                                       svd_prp_supported)
+    from mfcd_tpu.sampling.strategies import svd_tables
+
+    n, m = 120, 120
+    t = 5000
+    nu, mt = svd_dims(n, m)
+    assert (nu, mt) == (36, 36)
+    assert svd_prp_supported(n, m, t)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(n, m)),
+                    jnp.float32)
+    tu, ti = svd_tables(jax.random.key(13), x, t)
+    tri = np.asarray(decode_svd(
+        prp_indices(jax.random.key(14), jnp.arange(t), nu * mt * (mt - 1)),
+        mt, tu, ti))
+    assert len(np.unique(_pack(tri, m))) == t
+    assert (tri[:, 1] != tri[:, 2]).all()
+    assert set(tri[:, 0].tolist()) <= set(np.asarray(tu).tolist())
+    items = set(np.asarray(ti).tolist())
+    assert set(tri[:, 1].tolist()) | set(tri[:, 2].tolist()) <= items
+
+
+@pytest.mark.parametrize("strategy,n,m", [
+    ("top_k", 50, 220), ("svd", 120, 120),
+])
+def test_engine_fast_path_split_wiring(strategy, n, m):
+    """sample_and_split routes top_k/svd through the shared PRP split
+    assembly: exact counts, all rows + top-up distinct."""
+    x = jnp.asarray(np.random.default_rng(15).normal(size=(n, m)),
+                    jnp.float32)
+    t_cap, extra_cap = 2048, 512
+    streams = rng.rep_streams(jax.random.key(16))
+    out = sample_and_split(streams, x, t_cap, extra_cap, strategy)
+    tr = np.asarray(out.train)[: int(out.train_count)]
+    va = np.asarray(out.val)[: int(out.val_count)]
+    te = np.asarray(out.test)[: int(out.test_count)]
+    assert int(out.train_count) == int(0.8 * t_cap)
+    assert int(out.val_count) == int(0.1 * t_cap)
+    assert int(out.test_count) == (t_cap - int(0.8 * t_cap)
+                                   - int(0.1 * t_cap)) + extra_cap
+    allp = np.concatenate([_pack(tr, m), _pack(va, m), _pack(te, m)])
+    assert len(np.unique(allp)) == t_cap + extra_cap
+
+
 REF = "/root/reference"
 
 
