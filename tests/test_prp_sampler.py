@@ -261,6 +261,43 @@ def test_engine_fast_path_split_wiring(strategy, n, m):
     assert len(np.unique(allp)) == t_cap + extra_cap
 
 
+def test_kill_switch_gates(monkeypatch):
+    """MFCD_PRP_SAMPLER=0 turns every PRP gate off (trace-time read)."""
+    from mfcd_tpu.sampling.prp import (proximity_prp_supported,
+                                       svd_prp_supported,
+                                       topk_prp_supported)
+
+    monkeypatch.setenv("MFCD_PRP_SAMPLER", "0")
+    assert not prp_supported(N, M, 16)
+    assert not proximity_prp_supported(40, 220, 16)
+    assert not topk_prp_supported(40, 220, 16)
+    assert not svd_prp_supported(120, 120, 16)
+
+
+def test_kill_switch_fallback_end_to_end():
+    """With the switch off in a fresh process, sample_triplets falls back
+    to the overdraw path and still hits count == target (the pre-PRP
+    contract for random at this budget)."""
+    import subprocess
+
+    code = (
+        "import os; os.environ['MFCD_PRP_SAMPLER']='0';"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "from mfcd_tpu.sampling import sample_triplets;"
+        "out = sample_triplets(jax.random.key(1), jnp.zeros((60, 80)),"
+        " 2048, strategy='random');"
+        "tri = np.asarray(out.triplets); assert int(out.count) == 2048;"
+        "packed = (tri[:,0]*80 + tri[:,1])*80 + tri[:,2];"
+        "assert len(np.unique(packed)) == 2048;"
+        "assert (tri[:,1] != tri[:,2]).all(); print('OK')"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
 REF = "/root/reference"
 
 
