@@ -198,14 +198,35 @@ def sample_and_split(
             test=splits.test, test_count=splits.test_count,
         )
 
-    cands, cvalid = propose_candidates(
-        streams["sampling"], x, t_cap,
-        strategy=strategy,
-        popularity_method=popularity_method,
-        alpha=alpha,
-        budget=budget,
-    )
-    win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
+    # Margin PRP-distinct proposals: uniform proposals with a
+    # data-dependent acceptance region — drawn as a PRP prefix they are
+    # pairwise-distinct, so the dedup hash table disappears and the
+    # top-up continuation at slot m_draw is disjoint from the main block
+    # (no exclude pass).  See strategies.propose_margin.
+    margin_prp = False
+    if strategy == "margin":
+        from mfcd_tpu.sampling import plan_overdraw
+
+        md = plan_overdraw("margin", t_cap, n, m)
+        extra_draw = (plan_overdraw("margin", extra_cap, n, m)
+                      if extra_cap > 0 else 0)
+        margin_prp = prp.prp_supported(n, m, md + extra_draw)
+    if margin_prp:
+        from mfcd_tpu.sampling.strategies import propose_margin
+
+        cands, cvalid = propose_margin(
+            streams["sampling"], x, md,
+            t_cap if budget is None else budget, prp_distinct=True)
+        win = cvalid
+    else:
+        cands, cvalid = propose_candidates(
+            streams["sampling"], x, t_cap,
+            strategy=strategy,
+            popularity_method=popularity_method,
+            alpha=alpha,
+            budget=budget,
+        )
+        win = first_occurrence_winners(cands, cvalid, nm_shape=(n, m))
     splits, count = winners_to_splits(
         cands, win, t_cap, train_cap, val_cap, test_cap,
         key=rng.split_key(), budget=budget,
@@ -218,21 +239,35 @@ def sample_and_split(
     test_triplets = splits.test
     test_count = splits.test_count
     if extra_cap > 0:
-        # The exclude set is the *kept* winner rows in place (first
-        # `budget` winners, exactly the dataset the reference excludes at
-        # ``structure.py:721-730``); the cumsum duplicates winners_to_
-        # splits' rank and is CSE'd away inside the same jit.
-        kept = win & (jnp.cumsum(win) - 1 <
-                      (t_cap if budget is None else budget))
-        extra = sample_triplets(
-            streams["extra_sampling"], x, extra_cap,
-            strategy=strategy,
-            popularity_method=popularity_method,
-            alpha=alpha,
-            exclude=cands,
-            exclude_valid=kept,
-            budget=extra_budget,
-        )
+        if margin_prp:
+            # Continuation block of the SAME sample-key PRP, filtered by
+            # the top-up's own (tighter) margin window — disjoint from
+            # every main-block proposal by bijectivity.
+            from mfcd_tpu.sampling.dedup import _compact as _compact_fn
+            from mfcd_tpu.sampling.strategies import propose_margin
+
+            ec, ea = propose_margin(
+                streams["sampling"], x, extra_draw,
+                extra_cap if extra_budget is None else extra_budget,
+                prp_distinct=True, slot_offset=md)
+            extra = _compact_fn(ec, ea, extra_cap, budget=extra_budget)
+        else:
+            # The exclude set is the *kept* winner rows in place (first
+            # `budget` winners, exactly the dataset the reference
+            # excludes at ``structure.py:721-730``); the cumsum
+            # duplicates winners_to_splits' rank and is CSE'd away
+            # inside the same jit.
+            kept = win & (jnp.cumsum(win) - 1 <
+                          (t_cap if budget is None else budget))
+            extra = sample_triplets(
+                streams["extra_sampling"], x, extra_cap,
+                strategy=strategy,
+                popularity_method=popularity_method,
+                alpha=alpha,
+                exclude=cands,
+                exclude_valid=kept,
+                budget=extra_budget,
+            )
         # Compact concatenation: valid test rows first, then valid extras.
         both = jnp.concatenate([splits.test, extra.triplets], axis=0)
         both_valid = jnp.concatenate(

@@ -107,6 +107,18 @@ def sample_triplets(
         if tri is not None:
             eff = num_triplets if budget is None else budget
             return TripletSet(tri, jnp.asarray(eff, jnp.int32))
+        if strategy == "margin":
+            # PRP-distinct proposals: acceptance filtering is the only
+            # selection left — no dedup pass at all.
+            md = m_draw if m_draw is not None else plan_overdraw(
+                "margin", num_triplets, n, m)
+            if prp.prp_supported(n, m, md):
+                from mfcd_tpu.sampling.dedup import _compact
+
+                eff = num_triplets if budget is None else budget
+                cands, accept = strategies.propose_margin(
+                    key, x, md, eff, prp_distinct=True)
+                return _compact(cands, accept, num_triplets, budget=budget)
     cands, valid = propose_candidates(
         key, x, num_triplets, strategy,
         m_draw=m_draw, popularity_method=popularity_method, alpha=alpha,

@@ -81,13 +81,41 @@ def propose_proximity(key, x, m_draw, k: int = 100):
 
 # === MARGIN aka Close-Call (reference ``generation_data.py:46-84``) ======
 
-def propose_margin(key, x, m_draw, num_triplets: int):
+def margin_window(x, num_triplets):
+    """Adaptive margin from the first min(10, n) rows
+    (reference ``generation_data.py:56-57``); ``num_triplets`` may be
+    traced (the exact budget under capacity bucketing)."""
     n, m = x.shape
-    # Adaptive margin from the first min(10, n) rows
-    # (reference ``generation_data.py:56-57``).
     sample = x[: min(10, n)]
     margin = jnp.mean(jnp.max(sample, axis=1) - jnp.min(sample, axis=1))
-    margin = margin * (num_triplets / (n * m))
+    return margin * (num_triplets / (n * m))
+
+
+def propose_margin(key, x, m_draw, num_triplets: int,
+                   prp_distinct: bool = False, slot_offset: int = 0):
+    """Margin proposals: uniform (u, i, j) filtered by the score window.
+
+    ``prp_distinct=True`` draws the proposals as a keyed-PRP prefix over
+    the full (u, i, j) domain (``sampling/prp.py``) starting at
+    ``slot_offset`` — pairwise-distinct by bijectivity, so acceptance
+    filtering is the ONLY selection left (no dedup hash table), and a
+    continuation block at a later offset is disjoint from the main block
+    (the test top-up's exclude semantics for free).  The margin sampler
+    is uniform proposals + a data-dependent acceptance region D', so the
+    accepted prefix is a uniform without-replacement stream of D' —
+    the reference rejection loop's distribution
+    (``generation_data.py:46-84``)."""
+    n, m = x.shape
+    margin = margin_window(x, num_triplets)
+    if prp_distinct:
+        from mfcd_tpu.sampling import prp as _prp
+
+        idx = _prp.prp_indices(
+            key, slot_offset + jnp.arange(m_draw, dtype=jnp.int32),
+            _prp.prp_domain_size(n, m))
+        cands = _prp.decode_random(idx, n, m)
+        u, i, j = cands[:, 0], cands[:, 1], cands[:, 2]
+        return cands, jnp.abs(x[u, i] - x[u, j]) <= margin  # i != j built in
     ku, ki, kj = jax.random.split(key, 3)
     u = jax.random.randint(ku, (m_draw,), 0, n)
     i = jax.random.randint(ki, (m_draw,), 0, m)

@@ -261,6 +261,54 @@ def test_engine_fast_path_split_wiring(strategy, n, m):
     assert len(np.unique(allp)) == t_cap + extra_cap
 
 
+def test_margin_prp_distinct_and_window():
+    """Margin PRP-distinct path: rows unique, inside the adaptive window,
+    i != j structural, count exact when acceptance is plentiful."""
+    n, m = 60, 80
+    x_np = np.random.default_rng(21).normal(size=(n, m)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    t = 1000  # window accepts ~40% of pairs at this budget
+    out = sample_triplets(jax.random.key(22), x, t, strategy="margin")
+    assert int(out.count) == t
+    tri = np.asarray(out.triplets)[:t]
+    assert len(np.unique(_pack(tri, m))) == t
+    assert (tri[:, 1] != tri[:, 2]).all()
+    win = (np.mean(np.max(x_np[:10], axis=1) - np.min(x_np[:10], axis=1))
+           * t / (n * m))
+    d = np.abs(x_np[tri[:, 0], tri[:, 1]] - x_np[tri[:, 0], tri[:, 2]])
+    assert (d <= win + 1e-6).all()
+
+
+def test_margin_engine_split_wiring():
+    """sample_and_split margin: PRP continuation top-up is disjoint from
+    every split row and respects the top-up's own tighter window."""
+    n, m = 60, 80
+    x_np = np.random.default_rng(23).normal(size=(n, m)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    t_cap, extra_cap = 1024, 128
+    streams = rng.rep_streams(jax.random.key(24))
+    out = sample_and_split(streams, x, t_cap, extra_cap, "margin")
+    assert int(out.train_count) == int(0.8 * t_cap)
+    assert int(out.val_count) == int(0.1 * t_cap)
+    test_sz = t_cap - int(0.8 * t_cap) - int(0.1 * t_cap)
+    assert int(out.test_count) == test_sz + extra_cap
+    tr = np.asarray(out.train)[: int(out.train_count)]
+    va = np.asarray(out.val)[: int(out.val_count)]
+    te = np.asarray(out.test)[: int(out.test_count)]
+    allp = np.concatenate([_pack(tr, m), _pack(va, m), _pack(te, m)])
+    assert len(np.unique(allp)) == t_cap + extra_cap
+    # main rows respect the wide window; the top-up rows (the tail of the
+    # test buffer) the tight one (num_triplets=extra_cap, reference
+    # recomputes the margin per call, generation_data.py:56-57)
+    rng_ = np.max(x_np[:10], axis=1) - np.min(x_np[:10], axis=1)
+    for rows, budget in ((np.concatenate([tr, va, te[:test_sz]]), t_cap),
+                         (te[test_sz:], extra_cap)):
+        win = np.mean(rng_) * budget / (n * m)
+        d = np.abs(x_np[rows[:, 0], rows[:, 1]]
+                   - x_np[rows[:, 0], rows[:, 2]])
+        assert (d <= win + 1e-6).all()
+
+
 def test_kill_switch_gates(monkeypatch):
     """MFCD_PRP_SAMPLER=0 turns every PRP gate off (trace-time read)."""
     from mfcd_tpu.sampling.prp import (proximity_prp_supported,

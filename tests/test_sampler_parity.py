@@ -102,10 +102,17 @@ def _assert_marginals_match(ours, theirs, n=N, m=M):
 # === MARGIN (generation_data.py:46-84) ===================================
 
 def test_margin_parity(ref_sampling, x_np):
-    # t sized so the margin window accepts ~40% of pairs (discriminative)
+    # t sized so the margin window accepts ~40% of pairs (discriminative).
+    # Pool 4 independent draws per side: a single without-replacement draw
+    # can sit in a marginal's few-percent tail (and the reference's
+    # ``np.random.default_rng()`` is unseeded, so its draw varies run to
+    # run) — pooling keeps the two-sample chi-square calibrated.
     t = 1000
-    ours = _ours(x_np, t, "margin")
-    theirs = _theirs(ref_sampling, "choose_items_by_margin", x_np, t)
+    ours = np.concatenate([_ours(x_np, t, "margin", key=k)
+                           for k in range(4)])
+    theirs = np.concatenate(
+        [_theirs(ref_sampling, "choose_items_by_margin", x_np, t, seed=s)
+         for s in range(4)])
     # Exact acceptance window: both sides must emit only pairs inside the
     # adaptive margin computed from the first min(10, n) rows.
     sample = x_np[: min(10, N)]
