@@ -148,36 +148,11 @@ def sample_and_split(
     # exclude semantics for free), and the split buffers are assembled by
     # a pure map over output slots through the inverse split-PRP — no
     # scatter, no hash table, no candidate array.
-    dom = decode = None
-    sample_key = streams["sampling"]
-    if strategy == "random" and prp.prp_supported(n, m, t_cap, extra_cap):
-        dom = prp.prp_domain_size(n, m)
-        decode = lambda idx: prp.decode_random(idx, n, m)  # noqa: E731
-    elif (strategy == "proximity"
-          and prp.proximity_prp_supported(n, m, t_cap, extra_cap)):
-        kk = min(prp.PROXIMITY_K, m)
-        top_idx, bot_idx = prp.proximity_tables(x)
-        dom = n * kk * kk
-        decode = lambda idx: prp.decode_proximity(  # noqa: E731
-            idx, kk, top_idx, bot_idx)
-    elif strategy == "top_k" and prp.topk_prp_supported(n, m, t_cap,
-                                                        extra_cap):
-        top_idx = prp.topk_table(x)
-        kk = top_idx.shape[1]
-        dom = n * kk * (kk - 1)
-        decode = lambda idx: prp.decode_top_k(  # noqa: E731
-            idx, kk, top_idx)
-    elif strategy == "svd" and prp.svd_prp_supported(n, m, t_cap,
-                                                     extra_cap):
-        from mfcd_tpu.sampling.strategies import svd_tables
-
-        k_tbl, sample_key = jax.random.split(streams["sampling"])
-        top_users, top_items = svd_tables(k_tbl, x, t_cap, budget=budget)
-        nu, mt = top_users.shape[0], top_items.shape[0]
-        dom = nu * mt * (mt - 1)
-        decode = lambda idx: prp.decode_svd(  # noqa: E731
-            idx, mt, top_users, top_items)
-    if dom is not None:
+    fast = prp.uniform_domain(strategy, x, t_cap, extra_cap,
+                              key=streams["sampling"],
+                              svd_num_triplets=t_cap, svd_budget=budget)
+    if fast is not None:
+        dom, decode, sample_key = fast
         count = jnp.asarray(
             t_cap if budget is None else budget, jnp.int32)
         extra_count = (extra_cap if extra_budget is None
@@ -210,7 +185,18 @@ def sample_and_split(
         md = plan_overdraw("margin", t_cap, n, m)
         extra_draw = (plan_overdraw("margin", extra_cap, n, m)
                       if extra_cap > 0 else 0)
-        margin_prp = prp.prp_supported(n, m, md + extra_draw)
+        # The continuation-as-exclusion argument needs the top-up's
+        # acceptance window to be a SUBSET of the main window (the
+        # windows scale with the exact budgets, and pow-2 capacity
+        # bucketing keeps budget > t_cap/2, so 2*extra_cap <= t_cap
+        # guarantees extra_budget < budget): elements acceptable only
+        # to a WIDER top-up window that landed in main-block slots
+        # would be unreachable, a bias the reference (which excludes
+        # just the kept dataset) does not have.  At tiny triplet
+        # budgets where the 500-label top-up dominates, fall back to
+        # the overdraw + exclude path.
+        margin_prp = (prp.prp_supported(n, m, md + extra_draw)
+                      and 2 * extra_cap <= t_cap)
     if margin_prp:
         from mfcd_tpu.sampling.strategies import propose_margin
 

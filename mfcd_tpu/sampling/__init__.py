@@ -74,37 +74,13 @@ def sample_triplets(
         # dedup, count always == budget.
         import jax.numpy as jnp
 
-        tri = None
-        if strategy == "random" and prp.prp_supported(n, m, num_triplets):
-            tri = prp.prp_triplets(
-                key, n, m, jnp.arange(num_triplets, dtype=jnp.int32))
-        elif (strategy == "proximity"
-              and prp.proximity_prp_supported(n, m, num_triplets)):
-            kk = min(prp.PROXIMITY_K, m)
-            top_idx, bot_idx = prp.proximity_tables(x)
-            idx = prp.prp_indices(
-                key, jnp.arange(num_triplets, dtype=jnp.int32),
-                n * kk * kk)
-            tri = prp.decode_proximity(idx, kk, top_idx, bot_idx)
-        elif (strategy == "top_k"
-              and prp.topk_prp_supported(n, m, num_triplets)):
-            top_idx = prp.topk_table(x)
-            kk = top_idx.shape[1]
-            idx = prp.prp_indices(
-                key, jnp.arange(num_triplets, dtype=jnp.int32),
-                n * kk * (kk - 1))
-            tri = prp.decode_top_k(idx, kk, top_idx)
-        elif (strategy == "svd"
-              and prp.svd_prp_supported(n, m, num_triplets)):
-            k_tbl, k_prp = jax.random.split(key)
-            top_users, top_items = strategies.svd_tables(
-                k_tbl, x, num_triplets, budget=budget)
-            nu, mt = top_users.shape[0], top_items.shape[0]
-            idx = prp.prp_indices(
-                k_prp, jnp.arange(num_triplets, dtype=jnp.int32),
-                nu * mt * (mt - 1))
-            tri = prp.decode_svd(idx, mt, top_users, top_items)
-        if tri is not None:
+        dom = prp.uniform_domain(strategy, x, num_triplets, key=key,
+                                 svd_num_triplets=num_triplets,
+                                 svd_budget=budget)
+        if dom is not None:
+            dom_sz, decode, key = dom
+            tri = decode(prp.prp_indices(
+                key, jnp.arange(num_triplets, dtype=jnp.int32), dom_sz))
             eff = num_triplets if budget is None else budget
             return TripletSet(tri, jnp.asarray(eff, jnp.int32))
         if strategy == "margin":

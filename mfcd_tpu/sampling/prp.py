@@ -40,11 +40,14 @@ Domains:
   ``top_items`` (``generation_data.py:128-179``), both tables have
   distinct entries, so the decode is injective and i != j exact.
 
-The non-uniform proposals (popularity's zipf/exponential weights,
-variance's multinomial, cluster's size-dependent within-cluster draws)
-and the data-dependent acceptances (margin's score window,
-user_similarity's neighbor sets) are NOT uniform subsets of a static
-domain — they keep the overdraw -> dedup path.
+``margin`` is uniform proposals filtered by a data-dependent acceptance
+window: PRP-DISTINCT proposals (``strategies.propose_margin`` with
+``prp_distinct=True``) make acceptance the only selection left — no
+dedup pass — with the top-up as the continuation block under the
+top-up's own window.  The non-uniform proposals (popularity's
+zipf/exponential weights, variance's multinomial, cluster's
+size-dependent within-cluster draws) and ``user_similarity`` (whose
+position map is non-injective) keep the overdraw -> dedup path.
 
 PRP quality (vs a true uniform permutation) is the same 3-round keyed
 mixing already trusted for epoch shuffles (``ops/shuffle.py``);
@@ -138,15 +141,25 @@ def prp_triplets(key: jax.Array, n: int, m: int,
                          n, m)
 
 
-def proximity_tables(x: jax.Array, k: int = PROXIMITY_K):
+def proximity_tables(x: jax.Array, k: int = PROXIMITY_K,
+                     disjoint: bool = True):
     """Per-user top-kk / bottom-kk item-index tables ([n, kk] int32 each).
 
     Matches the reference's ``torch.topk(scores)`` / ``torch.topk(-scores)``
-    index sets (``generation_data.py:36-37``); ties have probability zero
-    for continuous X.
+    index sets (``generation_data.py:36-37``).  With ``disjoint=True``
+    (the PRP path) the bottom table is computed with the top-kk entries
+    masked to +inf — a no-op for continuous X with ``m >= 2*kk`` (the
+    sets are disjoint anyway, bit-identical tables) that keeps the
+    tables STRUCTURALLY disjoint when X has ties (e.g. quantized input),
+    so the PRP decode's ``i != j`` and injectivity guarantees hold for
+    every input.  The overdraw path uses ``disjoint=False`` + an
+    explicit ``i != j`` validity mask, the reference's exact rejection
+    semantics under ties.
     """
     kk = min(int(k), x.shape[1])
     top = jax.lax.top_k(x, kk)[1].astype(jnp.int32)
+    if disjoint:
+        x = jnp.put_along_axis(x, top, jnp.inf, axis=1, inplace=False)
     bot = jax.lax.top_k(-x, kk)[1].astype(jnp.int32)
     return top, bot
 
@@ -221,6 +234,46 @@ def decode_svd(idx: jax.Array, mt: int, top_users: jax.Array,
     a, b = _pair_decode(idx - us * per_u, mt)
     return jnp.stack([top_users[us], top_items[a], top_items[b]],
                      axis=1).astype(jnp.int32)
+
+
+def uniform_domain(strategy: str, x: jax.Array, *blocks: int,
+                   key: jax.Array | None = None,
+                   svd_num_triplets: int | None = None,
+                   svd_budget=None):
+    """Resolve a uniform-proposal strategy to its PRP fast path.
+
+    Returns ``(dom, decode, key)`` — the packed domain size, a
+    [T]-indices -> [T, 3]-triplets decoder closure, and the key the
+    caller must evaluate the PRP with (split off the input ``key`` for
+    svd, whose table decomposition consumes randomness; unchanged
+    otherwise) — or ``None`` when the strategy/shape is not
+    PRP-eligible.  The single dispatch shared by ``sample_triplets``
+    and ``data.btl.sample_and_split``.
+    """
+    n, m = x.shape
+    if strategy == "random" and prp_supported(n, m, *blocks):
+        return (prp_domain_size(n, m),
+                lambda idx: decode_random(idx, n, m), key)
+    if strategy == "proximity" and proximity_prp_supported(n, m, *blocks):
+        kk = min(PROXIMITY_K, m)
+        top_idx, bot_idx = proximity_tables(x)
+        return (n * kk * kk,
+                lambda idx: decode_proximity(idx, kk, top_idx, bot_idx),
+                key)
+    if strategy == "top_k" and topk_prp_supported(n, m, *blocks):
+        top_idx = topk_table(x)
+        kk = top_idx.shape[1]
+        return (n * kk * (kk - 1),
+                lambda idx: decode_top_k(idx, kk, top_idx), key)
+    if strategy == "svd" and svd_prp_supported(n, m, *blocks):
+        from mfcd_tpu.sampling.strategies import svd_tables
+
+        k_tbl, key = jax.random.split(key)
+        tu, ti = svd_tables(k_tbl, x, svd_num_triplets, budget=svd_budget)
+        nu, mt = tu.shape[0], ti.shape[0]
+        return (nu * mt * (mt - 1),
+                lambda idx: decode_svd(idx, mt, tu, ti), key)
+    return None
 
 
 def prp_splits(

@@ -67,10 +67,13 @@ def propose_random(key, x, m_draw):
 # === PROXIMITY aka Max-Min (reference ``generation_data.py:29-43``) ======
 
 def propose_proximity(key, x, m_draw, k: int = 100):
+    from mfcd_tpu.sampling.prp import proximity_tables
+
     n, m = x.shape
     kk = min(k, m)
-    _, top_idx = jax.lax.top_k(x, kk)      # [n, kk] best items per user
-    _, bot_idx = jax.lax.top_k(-x, kk)     # [n, kk] worst items per user
+    # Unmasked tables + the i != j validity mask below: the reference's
+    # exact rejection semantics (the PRP path uses disjoint=True instead).
+    top_idx, bot_idx = proximity_tables(x, k=kk, disjoint=False)
     ku, ki, kj = jax.random.split(key, 3)
     u = jax.random.randint(ku, (m_draw,), 0, n)
     i = top_idx[u, jax.random.randint(ki, (m_draw,), 0, kk)]
@@ -186,9 +189,11 @@ def estimate_k(num_triplets: int) -> int:
 
 
 def propose_top_k(key, x, m_draw, k: int | None = None):
+    from mfcd_tpu.sampling.prp import topk_table
+
     n, m = x.shape
-    kk = k if k is not None else top_k_value(m)
-    _, top_idx = jax.lax.top_k(x, kk)  # [n, kk]
+    top_idx = topk_table(x, k=k)
+    kk = top_idx.shape[1]
     ku, kp = jax.random.split(key)
     u = jax.random.randint(ku, (m_draw,), 0, n)
     pa, pb = _distinct_pos(kp, m_draw, kk)
@@ -259,8 +264,12 @@ def svd_tables(key, x, num_triplets: int, top_fraction: float = 0.3,
     v_proj = vt[:rank, :].T * (s[:rank] * rank_mask)[None, :]
     user_norms = jnp.linalg.norm(u_proj, axis=1)
     item_norms = jnp.linalg.norm(v_proj, axis=1)
-    num_top_users = max(1, int(top_fraction * n))
-    num_top_items = max(2, int(top_fraction * m))
+    from mfcd_tpu.sampling.prp import svd_dims
+
+    # Single source of truth with the PRP gate's domain arithmetic
+    # (prp.svd_prp_supported): a size drift between the two would make
+    # the gate approve blocks against the wrong domain.
+    num_top_users, num_top_items = svd_dims(n, m, top_fraction)
     _, top_users = jax.lax.top_k(user_norms, num_top_users)
     _, top_items = jax.lax.top_k(item_norms, num_top_items)
     return top_users.astype(jnp.int32), top_items.astype(jnp.int32)

@@ -261,6 +261,45 @@ def test_engine_fast_path_split_wiring(strategy, n, m):
     assert len(np.unique(allp)) == t_cap + extra_cap
 
 
+def test_proximity_prp_tied_scores_stay_valid():
+    """Fully tied X (worst case for top-k index sets): the disjoint
+    table construction must keep i != j and uniqueness — the unmasked
+    tables would overlap and silently emit i == j rows."""
+    n, m = 30, 220
+    x = jnp.zeros((n, m), jnp.float32)
+    out = sample_triplets(jax.random.key(31), x, 3000,
+                          strategy="proximity")
+    tri = np.asarray(out.triplets)[: int(out.count)]
+    assert int(out.count) == 3000
+    assert (tri[:, 1] != tri[:, 2]).all()
+    assert len(np.unique(_pack(tri, m))) == 3000
+    # disjoint=False reproduces the overlapping reference tables on ties
+    from mfcd_tpu.sampling.prp import proximity_tables
+
+    top, bot = proximity_tables(x, k=100, disjoint=False)
+    assert np.intersect1d(np.asarray(top[0]), np.asarray(bot[0])).size
+    topd, botd = proximity_tables(x, k=100, disjoint=True)
+    assert not np.intersect1d(np.asarray(topd[0]), np.asarray(botd[0])).size
+
+
+def test_margin_wide_topup_window_falls_back():
+    """When the 500-label top-up dominates the budget (2*extra_cap >
+    t_cap) the continuation argument breaks, so the engine must take
+    the overdraw + exclude path — and still produce valid splits."""
+    n, m = 60, 80
+    x_np = np.random.default_rng(33).normal(size=(n, m)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    t_cap, extra_cap = 64, 512
+    streams = rng.rep_streams(jax.random.key(34))
+    out = sample_and_split(streams, x, t_cap, extra_cap, "margin")
+    te = np.asarray(out.test)[: int(out.test_count)]
+    tr = np.asarray(out.train)[: int(out.train_count)]
+    va = np.asarray(out.val)[: int(out.val_count)]
+    allp = np.concatenate([_pack(tr, m), _pack(va, m), _pack(te, m)])
+    assert len(np.unique(allp)) == len(allp)  # exclude semantics held
+    assert (te[:, 1] != te[:, 2]).all()
+
+
 def test_margin_prp_distinct_and_window():
     """Margin PRP-distinct path: rows unique, inside the adaptive window,
     i != j structural, count exact when acceptance is plentiful."""
