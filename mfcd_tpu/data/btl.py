@@ -178,25 +178,17 @@ def sample_and_split(
     # pairwise-distinct, so the dedup hash table disappears and the
     # top-up continuation at slot m_draw is disjoint from the main block
     # (no exclude pass).  See strategies.propose_margin.
-    margin_prp = False
-    if strategy == "margin":
+    # Gate rationale (subset-window condition): prp.margin_prp_supported.
+    # At tiny triplet budgets where the 500-label top-up dominates, this
+    # falls back to the overdraw + exclude path.
+    margin_prp = (strategy == "margin"
+                  and prp.margin_prp_supported(n, m, t_cap, extra_cap))
+    if margin_prp:
         from mfcd_tpu.sampling import plan_overdraw
 
         md = plan_overdraw("margin", t_cap, n, m)
         extra_draw = (plan_overdraw("margin", extra_cap, n, m)
                       if extra_cap > 0 else 0)
-        # The continuation-as-exclusion argument needs the top-up's
-        # acceptance window to be a SUBSET of the main window (the
-        # windows scale with the exact budgets, and pow-2 capacity
-        # bucketing keeps budget > t_cap/2, so 2*extra_cap <= t_cap
-        # guarantees extra_budget < budget): elements acceptable only
-        # to a WIDER top-up window that landed in main-block slots
-        # would be unreachable, a bias the reference (which excludes
-        # just the kept dataset) does not have.  At tiny triplet
-        # budgets where the 500-label top-up dominates, fall back to
-        # the overdraw + exclude path.
-        margin_prp = (prp.prp_supported(n, m, md + extra_draw)
-                      and 2 * extra_cap <= t_cap)
     if margin_prp:
         from mfcd_tpu.sampling.strategies import propose_margin
 

@@ -236,6 +236,52 @@ def decode_svd(idx: jax.Array, mt: int, top_users: jax.Array,
                      axis=1).astype(jnp.int32)
 
 
+def margin_prp_supported(n: int, m: int, t_cap: int,
+                         extra_cap: int = 0) -> bool:
+    """Margin PRP-distinct gate (shape-only).
+
+    Proposal blocks are the strategy's overdraw plans; additionally
+    requires ``2 * extra_cap <= t_cap`` so the top-up's acceptance
+    window (scaling with the exact budgets; pow-2 capacity bucketing
+    keeps budget > t_cap / 2) is provably a SUBSET of the main window —
+    a wider top-up window could reach elements stranded in main-block
+    slots, a bias the reference (which excludes just the kept dataset)
+    does not have.
+    """
+    from mfcd_tpu.sampling.strategies import plan_overdraw
+
+    md = plan_overdraw("margin", t_cap, n, m)
+    extra_draw = (plan_overdraw("margin", extra_cap, n, m)
+                  if extra_cap > 0 else 0)
+    return (prp_supported(n, m, md + extra_draw)
+            and 2 * extra_cap <= t_cap)
+
+
+def fast_path_kind(strategy: str, n: int, m: int, t_cap: int,
+                   extra_cap: int = 0):
+    """Which sampler working set ``sample_and_split`` will allocate.
+
+    'prefix' — pure PRP map, NO candidate array (random / proximity /
+    top_k / svd); 'distinct' — PRP-distinct candidates + acceptance, no
+    hash table (margin); None — full overdraw + dedup.  Shape-only, so
+    the sweep's memory model (``sweep.batched.default_max_bucket``) can
+    share the exact gate logic.
+    """
+    blocks = (t_cap, extra_cap)
+    if strategy == "random" and prp_supported(n, m, *blocks):
+        return "prefix"
+    if strategy == "proximity" and proximity_prp_supported(n, m, *blocks):
+        return "prefix"
+    if strategy == "top_k" and topk_prp_supported(n, m, *blocks):
+        return "prefix"
+    if strategy == "svd" and svd_prp_supported(n, m, *blocks):
+        return "prefix"
+    if strategy == "margin" and margin_prp_supported(n, m, t_cap,
+                                                     extra_cap):
+        return "distinct"
+    return None
+
+
 def uniform_domain(strategy: str, x: jax.Array, *blocks: int,
                    key: jax.Array | None = None,
                    svd_num_triplets: int | None = None,

@@ -246,10 +246,24 @@ def default_max_bucket(cfg: RunConfig, t_cap: Optional[int] = None) -> int:
     eval_raw = (t - int(TRAIN_RATIO * t)) * cfg.K \
         + sh.extra_test_triplets * cfg.K
     rows_pad = _next_pow2(max(train_rows, 1))
-    m_draw = plan_overdraw(
-        cfg.strategy, t, cfg.n, cfg.m,
-        popularity_method=cfg.popularity_method, alpha=cfg.alpha,
-    )
+    # The PRP fast paths change the sampler working set (shared gate
+    # logic: sampling/prp.py::fast_path_kind): 'prefix' strategies build
+    # NO candidate array at all (pure map over output slots), margin's
+    # 'distinct' keeps its candidates + acceptance mask but drops the
+    # hash table; only the full overdraw+dedup strategies pay the
+    # 48 B/proposal (candidates + packed keys + table + winner passes).
+    from mfcd_tpu.sampling.prp import fast_path_kind
+
+    kind = fast_path_kind(cfg.strategy, cfg.n, cfg.m, t,
+                          sh.extra_test_triplets)
+    if kind == "prefix":
+        sampler_bytes = 0
+    else:
+        m_draw = plan_overdraw(
+            cfg.strategy, t, cfg.n, cfg.m,
+            popularity_method=cfg.popularity_method, alpha=cfg.alpha,
+        )
+        sampler_bytes = m_draw * (20 if kind == "distinct" else 48)
     # The metrics stage's counting ranker streams [block, m, m] boolean
     # comparison cubes per vmapped run (mfcd_tpu/eval/metrics.py::_ranks);
     # ~2 cubes are live across the comparison + reduction.
@@ -263,7 +277,7 @@ def default_max_bucket(cfg: RunConfig, t_cap: Optional[int] = None) -> int:
     eval_bytes = (eval_rows * 17
                   + _LOSS_BLOCK_BATCHES * cfg.batch_size * 128 * 4 * 3)
     per_run_bytes = (cfg.n * cfg.m * 4 * 3 + rows_pad * 4 * 12
-                     + m_draw * 48 + rank_cube_bytes + eval_bytes)
+                     + sampler_bytes + rank_cube_bytes + eval_bytes)
     budget_runs = max(4, int(2e9 / per_run_bytes))
     return max(1, budget_runs // max(cfg.reps, 1))
 

@@ -348,6 +348,40 @@ def test_margin_engine_split_wiring():
         assert (d <= win + 1e-6).all()
 
 
+def test_fast_path_kind_and_memory_model(monkeypatch):
+    """fast_path_kind mirrors the sample_and_split gates, and the sweep
+    memory model stops charging PRP strategies for overdraw arrays."""
+    import mfcd_tpu.sampling.prp as prp_mod
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.sampling.prp import fast_path_kind
+    from mfcd_tpu.sweep.batched import default_max_bucket
+
+    n, m, t = 1000, 1000, 131072
+    assert fast_path_kind("random", n, m, t) == "prefix"
+    assert fast_path_kind("proximity", n, m, t) == "prefix"
+    assert fast_path_kind("top_k", n, m, t) == "prefix"
+    assert fast_path_kind("svd", n, m, t) == "prefix"
+    assert fast_path_kind("margin", n, m, t) == "distinct"
+    assert fast_path_kind("margin", n, m, 64, 512) is None  # wide top-up
+    assert fast_path_kind("popularity", n, m, t) is None
+    assert fast_path_kind("variance", n, m, t) is None
+    # a prefix strategy packs at least as many configs per program as a
+    # hash-dedup one at the same shapes
+    mk = lambda s: RunConfig(n=n, m=m, d=2, p=0.25, s=5.0, lr=1e-3,  # noqa: E731
+                             weight_decay=0.0, num_epochs=3, reps=1,
+                             K=1, strategy=s)
+    assert default_max_bucket(mk("random")) >= default_max_bucket(
+        mk("variance"))
+    # Differential: the same config must pack MORE runs per program
+    # under its fast-path byte model than under the full-overdraw model
+    # (gate forced off), for both the prefix and distinct kinds.
+    fast = {s: default_max_bucket(mk(s)) for s in ("random", "margin")}
+    monkeypatch.setattr(prp_mod, "fast_path_kind",
+                        lambda *a, **k: None)
+    for s in ("random", "margin"):
+        assert fast[s] > default_max_bucket(mk(s)), s
+
+
 def test_kill_switch_gates(monkeypatch):
     """MFCD_PRP_SAMPLER=0 turns every PRP gate off (trace-time read)."""
     from mfcd_tpu.sampling.prp import (proximity_prp_supported,
