@@ -185,13 +185,11 @@ def sample_and_split(
                   and prp.margin_prp_supported(n, m, t_cap, extra_cap))
     if margin_prp:
         from mfcd_tpu.sampling import plan_overdraw
+        from mfcd_tpu.sampling.strategies import propose_margin
 
         md = plan_overdraw("margin", t_cap, n, m)
         extra_draw = (plan_overdraw("margin", extra_cap, n, m)
                       if extra_cap > 0 else 0)
-    if margin_prp:
-        from mfcd_tpu.sampling.strategies import propose_margin
-
         cands, cvalid = propose_margin(
             streams["sampling"], x, md,
             t_cap if budget is None else budget, prp_distinct=True)
