@@ -84,6 +84,31 @@ def test_cell7_grid_compile_key_collapse():
     assert len(capped) < len(uncapped)
 
 
+def test_cell9_and_cell18_grid_compile_key_collapse():
+    """The other two p-logspace acceptance grids must collapse the same
+    way (their distinct budgets span 1e-4..0.8 over 25 resp. 20 p's)."""
+    import numpy as np
+
+    # cell 9: 25 p-values x K in {1,2,3,5,10}, soft labels
+    p9 = list(np.logspace(-2, np.log10(0.2), 20)) + [1e-4, 5e-3, 1e-3,
+                                                     0.5, 0.8]
+    cfg9 = [RunConfig(n=1000, m=1000, d=2, p=float(p), K=K,
+                      soft_label=True)
+            for p in p9 for K in (1, 2, 3, 5, 10)]
+    caps9 = {compile_caps(c)[0] for c in cfg9}
+    exact9 = {c.num_triplets for c in cfg9}
+    assert len(exact9) >= 20
+    assert len(caps9) <= 14, caps9  # pow-2 ladder over 1e-4..0.8
+
+    # cell 18: 20 p-values x 7 strategies (capacity keys are per
+    # (t_cap, extra_cap, strategy); here we pin the t_cap ladder)
+    p18 = np.round(np.logspace(-2, np.log10(0.2), 20), 4)
+    caps18 = {compile_caps(RunConfig(n=1000, m=1000, d=2, p=float(p),
+                                     K=1, soft_label=True))[0]
+              for p in p18}
+    assert len(caps18) <= 6, caps18
+
+
 def test_fast_path_matches_sequential_with_caps():
     from mfcd_tpu.sweep.batched import parameter_scan_fast
     from mfcd_tpu.sweep.engine import parameter_scan
