@@ -1,10 +1,10 @@
 """Direct sampling-without-replacement via keyed permutation prefixes.
 
-The reference's ``random`` and ``proximity`` samplers
-(``generation_data.py:16-26, 29-43``) are rejection loops over a finite
-proposal domain with uniform proposals: draw, reject duplicates, stop at
-``num_triplets`` — i.e. a uniformly random T-subset of the domain, in
-uniform order.  A keyed pseudorandom permutation gives that *directly*:
+The reference's ``random`` / ``proximity`` / ``top_k`` / ``svd`` samplers
+(``generation_data.py:16-26, 29-43, 189-224, 128-179``) are rejection
+loops over a finite proposal domain with uniform proposals: draw, reject
+duplicates, stop at ``num_triplets`` — i.e. a uniformly random T-subset
+of the domain, in uniform order.  A keyed pseudorandom permutation gives that *directly*:
 the first T values of a PRP over [0, |D|) are a uniform sample without
 replacement, so decoding ``prp(key, arange(T))`` reproduces the rejection
 loop's output distribution with
@@ -55,11 +55,12 @@ distribution-level parity vs the torch samplers is pinned by the
 chi-square suites (tests/test_prp_sampler.py, tests/test_sampler_parity.py,
 tests/test_reference_parity.py).
 
-Gated by :func:`prp_supported` / :func:`proximity_prp_supported`: the
-packed domain must fit int32 and the requested blocks must fit the
-domain.  ``MFCD_PRP_SAMPLER=0`` is an emergency kill switch (read at
-trace time, like MFCD_RESHUFFLE_PERIOD — set it before the first
-sampling call in a process).
+Gated per strategy (see :func:`fast_path_kind`, the shape-only summary
+shared with the sweep's memory model): the packed domain must fit int32
+and the requested blocks must fit the domain, plus strategy-specific
+conditions documented on each gate.  ``MFCD_PRP_SAMPLER=0`` is an
+emergency kill switch (read at trace time, like MFCD_RESHUFFLE_PERIOD —
+set it before the first sampling call in a process).
 """
 
 from __future__ import annotations
