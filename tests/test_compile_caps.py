@@ -109,6 +109,36 @@ def test_cell9_and_cell18_grid_compile_key_collapse():
     assert len(caps18) <= 6, caps18
 
 
+def test_cell3_cell11_cell13_grid_compile_key_collapse():
+    """The remaining production grids with varying p: cell 3's six
+    p-values, cell 11's 99 arange-derived (p, s) pairs (the widest set of
+    distinct budgets after cell 7), and cell 13's five p-values must all
+    collapse onto the shared pow-2 capacity ladder."""
+    from experiments.runs import ps_const_pairs
+
+    # cell 3: p in {0.1, 0.15, 0.2, 0.25, 0.35, 0.5} (s, wd traced)
+    caps3 = {compile_caps(RunConfig(n=1000, m=1000, d=2, p=p, K=1,
+                                    soft_label=True))[0]
+             for p in (0.1, 0.15, 0.2, 0.25, 0.35, 0.5)}
+    assert len(caps3) <= 3, caps3
+
+    # cell 11: 99 linear (p, s) pairs, p spans 0.012..0.3
+    p_values, s_values = ps_const_pairs()
+    assert len(p_values) == 99
+    caps11 = {compile_caps(RunConfig(n=1000, m=1000, d=2, p=float(p), K=1,
+                                     soft_label=True))[0]
+              for p in p_values}
+    exact11 = {RunConfig(n=1000, m=1000, d=2, p=float(p)).num_triplets
+               for p in p_values}
+    assert len(exact11) > 30  # the collapse is real
+    assert len(caps11) <= 6, caps11  # pow-2 ladder 8192..262144
+
+    # cell 13: p in {0.1, 0.2, 0.5, 0.8, 1.0} x d (d doesn't touch t_cap)
+    caps13 = {compile_caps(RunConfig(n=1000, m=1000, d=d, p=p, K=1))[0]
+              for p in (0.1, 0.2, 0.5, 0.8, 1.0) for d in (2, 4, 6, 8, 10)}
+    assert len(caps13) <= 4, caps13
+
+
 def test_fast_path_matches_sequential_with_caps():
     from mfcd_tpu.sweep.batched import parameter_scan_fast
     from mfcd_tpu.sweep.engine import parameter_scan
