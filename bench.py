@@ -48,12 +48,12 @@ def bench_sweep():
     acc = [float(np.mean(r["results"]["accuracy"])) for r in results[:5]]
     log(f"accuracy head: {acc}")
     runs_per_hour = 3600.0 / dt * total_runs
-    print(json.dumps({
+    emit({
         "metric": "sweep_runs_per_hour_per_chip_1000x1000_sxwd",
         "value": round(runs_per_hour, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour / 125.0, 3),
-    }))
+    })
 
 
 def time_k10():
@@ -82,17 +82,17 @@ def time_k10():
 def bench_k10():
     """--k10: the K=10 Pallas-vs-jnp timing as its own headline metric."""
     runs_per_hour, speedup = time_k10()
-    print(json.dumps({
+    emit({
         "metric": "k10_full_training_runs_per_hour_per_chip_pallas",
         "value": round(runs_per_hour, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour / 125.0, 3),
         "pallas_speedup_vs_jnp": round(speedup, 2),
-    }))
+    })
 
 
-def device_reachable(timeout_s: int = 900) -> bool:
-    """Bounded probe: can this environment finish ONE tiny device op?
+def _probe_once(timeout_s: int) -> bool:
+    """One bounded device probe: can the environment finish ONE tiny op?
 
     The axon tunnel's observed outage mode is a hang (or a signal-kill
     with no traceback) at the first dispatch — a hung bench would leave
@@ -100,6 +100,13 @@ def device_reachable(timeout_s: int = 900) -> bool:
     so the bound is enforceable regardless of where the client blocks;
     a fresh tiny program keeps the legitimate first-dispatch cost
     (executable upload through the tunnel) well inside the budget.
+
+    Concurrency note: probing the tunnel IS this subprocess's job, and
+    the parent does no device work while it waits (its only tunnel
+    contact was the unavoidable sitecustomize registration at interpreter
+    start), so at most one process actively uses the TPU at any time.
+    The child is killed only on timeout, i.e. when the tunnel is already
+    unresponsive — never mid-compile on a healthy backend.
     """
     import subprocess
 
@@ -117,21 +124,100 @@ def device_reachable(timeout_s: int = 900) -> bool:
     return ok
 
 
+#: Staged probe schedule: (probe timeout, sleep after failure).  Three
+#: bounded attempts spread over ~35 min ride out short tunnel blips and
+#: worker restarts instead of betting the round's artifact on one window
+#: (round 3 lost its headline number to exactly that).
+PROBE_SCHEDULE = ((300, 300), (600, 600), (900, 0))
+
+
+def device_reachable() -> bool:
+    for i, (timeout_s, sleep_s) in enumerate(PROBE_SCHEDULE):
+        if _probe_once(timeout_s):
+            return True
+        if sleep_s:
+            log(f"probe {i + 1}/{len(PROBE_SCHEDULE)} failed; "
+                f"retrying in {sleep_s}s")
+            time.sleep(sleep_s)
+    return False
+
+
+LAST_GOOD_PATH = "BENCH_LAST_GOOD.json"
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:  # noqa: BLE001 — commit stamp is best-effort
+        return "unknown"
+
+
+def emit(payload: dict) -> None:
+    """Print the one graded JSON line; persist successful measurements.
+
+    A successful on-device measurement is written to BENCH_LAST_GOOD.json
+    (with timestamp + commit) so a later degraded run can cite the last
+    real number instead of reporting only 0.0.
+    """
+    print(json.dumps(payload))
+    if payload.get("value", 0.0) > 0.0 and "error" not in payload:
+        import datetime
+        import os
+
+        record = dict(payload)
+        record["measured_at_utc"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds")
+        record["commit"] = _git_head()
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            LAST_GOOD_PATH)
+        try:
+            with open(path, "w") as f:
+                json.dump(record, f, indent=1)
+                f.write("\n")
+        except OSError as e:
+            log(f"could not persist last-good measurement: {e}")
+
+
+def _degraded_payload(metric: str) -> dict:
+    """Parseable failure record, citing the last on-device success if any."""
+    import os
+
+    payload = {
+        "metric": metric,
+        "value": 0.0,
+        "unit": "runs/hour/chip",
+        "vs_baseline": 0.0,
+        "error": "device unreachable (axon tunnel down); see stderr",
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        LAST_GOOD_PATH)
+    try:
+        with open(path) as f:
+            payload["last_good"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+    return payload
+
+
 def main():
     quick = "--quick" in sys.argv
+    if "--sweep" in sys.argv:
+        metric = "sweep_runs_per_hour_per_chip_1000x1000_sxwd"
+    elif "--k10" in sys.argv:
+        metric = "k10_full_training_runs_per_hour_per_chip_pallas"
+    elif quick:
+        metric = "quick_smoke_runs_per_hour_per_chip_100x100"
+    else:
+        metric = "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2"
     if not device_reachable():
         # Degraded-but-parseable record instead of a hang: the driver
-        # still gets its one JSON line, with the failure explicit.
-        print(json.dumps({
-            "metric": ("quick_smoke_runs_per_hour_per_chip_100x100"
-                       if quick else
-                       "full_training_runs_per_hour_per_chip_1000x1000"
-                       "_d2_p0.2"),
-            "value": 0.0,
-            "unit": "runs/hour/chip",
-            "vs_baseline": 0.0,
-            "error": "device unreachable (axon tunnel down); see stderr",
-        }))
+        # still gets its one JSON line, with the failure explicit and
+        # the metric name matching the requested mode.
+        print(json.dumps(_degraded_payload(metric)))
         return
     if "--sweep" in sys.argv:
         bench_sweep()
@@ -197,8 +283,6 @@ def main():
     grads_per_sec = rows_per_run * total_runs / dt
     log(f"triplet-grads/sec: {grads_per_sec:,.0f}")
 
-    metric = ("quick_smoke_runs_per_hour_per_chip_100x100" if quick else
-              "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2")
     payload = {
         "metric": metric,
         "value": round(runs_per_hour_per_chip, 1),
@@ -218,7 +302,7 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the headline metric
             log(f"K=10 pallas timing failed (headline unaffected): {e}")
 
-    print(json.dumps(payload))
+    emit(payload)
 
 
 if __name__ == "__main__":

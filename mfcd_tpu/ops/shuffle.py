@@ -25,6 +25,7 @@ uniform permutation — statistically indistinguishable for SGD shuffling.
 from __future__ import annotations
 
 import os
+import sys
 from functools import partial
 
 import jax
@@ -205,13 +206,30 @@ def exact_prefix_permutation(
 # statistical suite (tests/test_reference_parity.py) either way, since even
 # the every-epoch path realizes a different permutation than torch's.
 
+_logged_period: int | None = None
+
+
 def default_reshuffle_period() -> int:
     """Epoch period of full PRP reshuffles (``MFCD_RESHUFFLE_PERIOD``).
 
     1 = fresh PRP every epoch (classic behavior).  Read at trace time, so
-    set it before the first trainer call in a process.
+    set it before the first trainer call in a process.  The default (4)
+    trades torch's every-epoch uniform draw for one full reshuffle per 4
+    epochs with cheap prefix-rotation/tile-PRP mixing in between;
+    distribution-level parity under both regimes is pinned by
+    ``scripts/validate_reshuffle.py`` (16-rep CI overlap on the real chip)
+    and ``tests/test_reference_parity.py``.  The active period is logged
+    once per process so sweep artifacts record which shuffle regime
+    produced them.
     """
-    return max(1, int(os.environ.get("MFCD_RESHUFFLE_PERIOD", "4")))
+    global _logged_period
+    period = max(1, int(os.environ.get("MFCD_RESHUFFLE_PERIOD", "4")))
+    if _logged_period != period:
+        _logged_period = period
+        print(f"mfcd_tpu: reshuffle period = {period} "
+              f"({'fresh PRP every epoch' if period == 1 else 'full reshuffle every %d epochs' % period})",
+              file=sys.stderr, flush=True)
+    return period
 
 
 def stream_tile_width(batch_size: int) -> int | None:

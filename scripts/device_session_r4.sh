@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-4 device backlog, run when the axon tunnel recovers.  Ordered to
+# secure the graded bench number FIRST (VERDICT r3 item 1: round 3 lost
+# its headline artifact to the outage), then the multi-epoch window
+# kernel decision data (item 2), then stage profiles for the deferred
+# optimizations (item 3).  Each step logs to /tmp/devlog/<step>.log; a
+# step failure does not stop later steps.  NEVER run two of these
+# concurrently, and never run another TPU process while one is active.
+set -u
+mkdir -p /tmp/devlog
+cd /root/repo
+
+run_step() {
+  local name="$1"; shift
+  echo "=== $name: $(date -u +%H:%M:%S) ===" | tee -a /tmp/devlog/driver.log
+  "$@" > "/tmp/devlog/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name done rc=$rc $(date -u +%H:%M:%S) ===" | tee -a /tmp/devlog/driver.log
+  return $rc
+}
+
+run_step canary python -c "import mfcd_tpu; from mfcd_tpu.cache import ensure_cache_healthy; ensure_cache_healthy(); import jax; print(jax.devices())"
+run_step bench python bench.py
+run_step smoke python scripts/smoke_multiepoch.py
+run_step sample_prof python scripts/profile_sample.py
+run_step validate python scripts/validate_multiepoch.py --reps 16
+echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a /tmp/devlog/driver.log
