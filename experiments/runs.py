@@ -26,9 +26,12 @@ from mfcd_tpu.sweep.ground_truth import parameter_scan_ground_truth
 
 
 def _scan(fast, **kw):
+    mesh = kw.pop("mesh", None)
     if fast:
         kw.pop("device", None)
-        return parameter_scan_fast(**kw)
+        return parameter_scan_fast(mesh=mesh, **kw)
+    if mesh is not None:
+        raise ValueError("mesh-sharded execution requires fast=True")
     return parameter_scan(**kw)
 
 
@@ -271,8 +274,13 @@ def strategies_s_sweep(out=None, save_every=5, fast=False, scale=1.0,
 
 def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
                        reps=3, strategies=STRATEGIES_P_SWEPT,
-                       resume=False):
-    """Runs.ipynb cell 18: 7 strategies x p at s=5, soft labels."""
+                       resume=False, mesh=None):
+    """Runs.ipynb cell 18: 7 strategies x p at s=5, soft labels.
+
+    ``mesh`` (requires ``fast=True``) shards every bucket over a device
+    mesh — the path ``scripts/validate_sharded_cell.py`` proves equal to
+    the single-device run pickle-for-pickle.
+    """
     n = m = int(1000 * scale) or 10
     p_list = np.round(np.logspace(-2, np.log10(0.2), 20), 4).tolist()
     all_results = {}
@@ -284,6 +292,7 @@ def strategies_p_sweep(out=None, save_every=5, fast=False, scale=1.0,
             strategy=strategy, num_epochs=30, reps=reps,
             linear=False, soft_label=True,
             save_path=path, save_every=save_every, resume=resume,
+            mesh=mesh,
         )
     return all_results
 

@@ -1,0 +1,105 @@
+"""Whole-cell sharded-vs-single-device pickle equality (VERDICT r3 item 8).
+
+Runs the COMPLETE Runs.ipynb cell-18 grid (7 strategies x 20 p-values x
+reps; reference ``Runs.ipynb`` cell 18 / ``structure.py:81-85``) twice
+through the production engine on the virtual 8-device CPU mesh:
+
+  1. fully sharded: every shape bucket dispatched as one XLA program with
+     its run axis sharded over the mesh (``parameter_scan_fast(mesh=...)``),
+  2. single-device: the same grid with ``mesh=None``,
+
+both with the real incremental pickle protocol (``save_path``/
+``save_every``), then asserts the sharded pickles equal the single-device
+pickles config-for-config — every param dict and all 23 result keys
+bit-exact.  Results are batching/sharding-invariant by key-folding design;
+this proves it over a whole faithful cell including the PRP samplers and
+the soft-label stage, not just one synthetic bucket.
+
+Usage (CPU, any host — never touches the TPU):
+    python scripts/validate_sharded_cell.py [--scale 0.1] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+# Pin the virtual CPU mesh BEFORE any jax import (the axon sitecustomize
+# would otherwise aim the run at the real TPU tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=0.1,
+                    help="matrix-size scale (1.0 = the production n=m=1000)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out-dir", default="/tmp/sharded_cell")
+    ap.add_argument("--strategies", default=None,
+                    help="comma list; default = the full cell-18 seven")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from experiments.runs import STRATEGIES_P_SWEPT, strategies_p_sweep
+    from mfcd_tpu.sweep.batched import make_sweep_mesh
+
+    strategies = (tuple(args.strategies.split(","))
+                  if args.strategies else STRATEGIES_P_SWEPT)
+    os.makedirs(args.out_dir, exist_ok=True)
+    mesh = make_sweep_mesh()
+    assert mesh.devices.size == 8, mesh
+
+    import time
+
+    t0 = time.time()
+    strategies_p_sweep(out=os.path.join(args.out_dir, "sharded"),
+                       fast=True, scale=args.scale, reps=args.reps,
+                       strategies=strategies, mesh=mesh)
+    t_sharded = time.time() - t0
+    t0 = time.time()
+    strategies_p_sweep(out=os.path.join(args.out_dir, "single"),
+                       fast=True, scale=args.scale, reps=args.reps,
+                       strategies=strategies, mesh=None)
+    t_single = time.time() - t0
+
+    n_cfg = 0
+    for strategy in strategies:
+        with open(f"{args.out_dir}/sharded_{strategy}.pkl", "rb") as f:
+            sh = pickle.load(f)
+        with open(f"{args.out_dir}/single_{strategy}.pkl", "rb") as f:
+            si = pickle.load(f)
+        assert len(sh) == len(si) > 0, (strategy, len(sh), len(si))
+        # Pickle append order may differ between bucket traversals; key by
+        # the full param dict (unique per config in this grid).
+        def by_params(entries):
+            keyed = {tuple(sorted(e["params"].items())): e for e in entries}
+            assert len(keyed) == len(entries), "duplicate param sets"
+            return keyed
+
+        sh_k, si_k = by_params(sh), by_params(si)
+        assert sh_k.keys() == si_k.keys(), strategy
+        for pk in sh_k:
+            a, b = sh_k[pk]["results"], si_k[pk]["results"]
+            assert a.keys() == b.keys(), (strategy, pk)
+            for rk in a:
+                np.testing.assert_array_equal(
+                    np.asarray(a[rk]), np.asarray(b[rk]),
+                    err_msg=f"{strategy} {dict(pk)} key={rk}")
+            n_cfg += 1
+        print(f"{strategy}: {len(sh)} configs sharded == single-device "
+              "(bit-exact, all result keys)")
+    print(f"PASS: {n_cfg} configs x {args.reps} reps across "
+          f"{len(strategies)} strategies; sharded {t_sharded:.0f}s, "
+          f"single-device {t_single:.0f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,6 +116,26 @@ def test_parity_p5_structured_generation(reference):
     _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy"])
 
 
+def test_parity_p6_margin_strategy(reference):
+    """P6: margin sampler end-to-end (data-dependent acceptance window +
+    PRP-distinct proposals; VERDICT r3 weak #3 — the protocol points
+    omitted margin)."""
+    cfg = dict(n=60, m=80, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="margin")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
+def test_parity_p7_popularity_strategy(reference):
+    """P7: popularity (zipf) sampler end-to-end — a non-uniform-proposal
+    strategy that keeps the overdraw/dedup path."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="popularity",
+               popularity_method="zipf", alpha=1.5)
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
 def test_triplet_budget_matches_reference_formula(reference):
     """num_triplets = int(n*m*p/2) exactly (structure.py:356)."""
     from mfcd_tpu.core.config import RunConfig
