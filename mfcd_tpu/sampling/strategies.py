@@ -426,7 +426,14 @@ def plan_overdraw(
         c = 10
         return generic(n * m * m * (1.0 - 1.0 / c) / 2.0, safety=1.5)
     if strategy == "user_similarity":
-        return max(2 * t, 10_000)
+        # The proposal is a mixture of concentrated difference-set draws
+        # (~68% at the canonical n=m=1000, T=1e5 config) and top(u)
+        # distinct-pair fallbacks over an ~n*tk*(tk-1) pool; measured
+        # unique yield at that config is ~69k/2T, ~124k/4T, so 5T fills
+        # the 100k budget with ~45% margin (NOTES_ROUND4.md).  The
+        # reference's own sampler caps at 10k attempts total
+        # (generation_data.py:251-295) and returns <=10% of this budget.
+        return max(5 * t, 10_000)
     if strategy == "svd":
         return 5 * t  # reference over-generation cap
     raise ValueError(f"Unknown triplet sampling strategy: {strategy}")
