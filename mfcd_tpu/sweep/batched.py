@@ -17,6 +17,7 @@ are independent, so no collectives are emitted and scaling is linear
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -51,7 +52,7 @@ def make_sweep_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), ("grid",))
 
 
-def run_bucket(
+def run_bucket_async(
     cfg: RunConfig,
     hyper_rows: Sequence[Dict[str, float]],
     config_indices: Sequence[int],
@@ -60,8 +61,15 @@ def run_bucket(
     use_pallas: Optional[bool] = None,
     caps=None,
     bucket_configs: Optional[Sequence[RunConfig]] = None,
-) -> List[Dict[str, Any]]:
-    """Run a same-shape bucket of configurations, optionally mesh-sharded.
+) -> "BucketFuture":
+    """Dispatch a same-shape bucket of configurations, optionally sharded.
+
+    Returns a :class:`BucketFuture` whose ``collect()`` blocks on the host
+    transfer and assembles results.  XLA dispatch is asynchronous, so the
+    device starts executing this bucket immediately while the caller is
+    free to post-process a PREVIOUS bucket — the 1-deep pipeline that
+    hides host-side export/pickle time (``parameter_scan_fast``,
+    ``MFCD_PIPELINE``).
 
     ``hyper_rows`` carries the traced values ``{'s', 'lr', 'weight_decay'}``
     per configuration; ``config_indices`` are global experiment indices for
@@ -115,105 +123,160 @@ def run_bucket(
         budgets = jax.device_put(budgets, sharding)
         extra_budgets = jax.device_put(extra_budgets, sharding)
 
-    # Transient-failure recovery (SURVEY §5.3): remote compilation and the
-    # device transport can hiccup; retry with backoff before giving up so
-    # long sweeps survive infrastructure blips.
-    last_err = None
-    attempts = 6
-    fp_attempts = 0
-    for attempt in range(attempts):
-        try:
-            out = _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
-                                     use_pallas=use_pallas,
-                                     caps=caps, budgets=budgets,
-                                     extra_budgets=extra_budgets)
-            # Materialize inside the retry scope: dispatch is async, so
-            # device failures surface at the host transfer.  One
-            # device_get for the whole dict: it issues async host copies
-            # for every leaf before blocking, so the ~25 result arrays
-            # pay one tunnel round-trip instead of one each (~0.45s per
-            # bucket on the axon transport).
-            host = jax.device_get(dict(out))
-            break
-        except (jax.errors.JaxRuntimeError, ValueError) as e:
-            # ValueError included: backend failures during tracing (e.g. a
-            # FAILED_PRECONDITION surfacing from a traced arange while the
-            # tunnel restarts) arrive as plain ValueError, not
-            # JaxRuntimeError (observed killing a resume pass).
-            last_err = e
-            msg = str(e)
-            if _is_oom(msg):
-                # Deterministic compile/runtime OOM: retrying the same
-                # shape is useless (and via remote_compile each retry is
-                # minutes) — let the chunk bisector handle it.
-                raise
-            # NB: XLA wraps deterministic failures in INTERNAL too — only
-            # retry statuses that are reliably infrastructure-side.
-            is_fp = ("FAILED_PRECONDITION" in msg
-                     or "FailedPrecondition" in msg)
-            if is_fp:
-                # Axon-tunnel worker restarts surface as bare
-                # FAILED_PRECONDITION "TPU backend error" at the host
-                # transfer (observed killing a sweep at config 64/252) —
-                # retryable over the full multi-minute backoff budget.
-                # But a poisoned persistent compile cache produces the
-                # SAME status deterministically, so after the second hit
-                # run the canary/fresh-compile differential inline: it
-                # purges a poisoned cache (making the next retry succeed)
-                # and is a no-op when the backend is merely restarting
-                # (ADVICE r2 + review r3).
-                fp_attempts += 1
-                if fp_attempts == 2:
-                    from mfcd_tpu.cache import ensure_cache_healthy
+    def dispatch():
+        return _run_bucket_device(shape_cfg, cfg_keys, s, lr, wd,
+                                  use_pallas=use_pallas,
+                                  caps=caps, budgets=budgets,
+                                  extra_budgets=extra_budgets)
 
-                    try:
-                        if not ensure_cache_healthy():
-                            print("⚠️ purged poisoned compile cache; "
-                                  "retrying", file=sys.stderr)
-                    except Exception as probe_err:  # noqa: BLE001
-                        # Backend down (fresh compile failed too) — keep
-                        # backing off through the remaining attempts.
-                        print(f"⚠️ backend still down during cache "
-                              f"probe: {str(probe_err)[:80]}",
-                              file=sys.stderr)
-            transient = any(tok in msg for tok in
-                            ("remote_compile", "UNAVAILABLE",
-                             "DEADLINE_EXCEEDED",
-                             "worker process crashed")) or is_fp
-            if not transient or attempt == attempts - 1:
-                if "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg:
+    def postprocess(host):
+        results = []
+        for bi in range(b):
+            per_cfg = {k: v[bi] for k, v in host.items()}
+            counts = per_cfg.pop("sample_count")
+            for c in counts:
+                if int(c) < targets[bi]:
+                    # Diagnostics go to stderr: bench.py and other
+                    # stdout-JSON consumers drive this path.
                     print(
-                        "⚠️ persistent FAILED_PRECONDITION: if a bare "
-                        "fresh-compile probe works, the persistent compile "
-                        "cache likely holds executables from a restarted "
-                        "TPU worker — delete .jax_cache (see CLAUDE.md).",
+                        f"⚠️ Only {int(c)} triplets generated for strategy: "
+                        f"{cfg.strategy} (target={targets[bi]})",
                         file=sys.stderr,
                     )
-                raise
-            import time as _time
+            results.append(export_results(per_cfg))
+        return results
 
-            print(f"⚠️ transient device error "
-                  f"(attempt {attempt + 1}/{attempts}), "
-                  f"retrying: {msg[:120]}", file=sys.stderr)
-            _time.sleep(15 * (attempt + 1))
-    else:  # pragma: no cover
-        raise last_err
+    return BucketFuture(dispatch, postprocess)
 
-    results = []
-    for bi in range(b):
-        per_cfg = {k: v[bi] for k, v in host.items()}
-        counts = per_cfg.pop("sample_count")
-        for c in counts:
-            if int(c) < targets[bi]:
-                # Diagnostics go to stderr: bench.py and other
-                # stdout-JSON consumers drive this path.
-                print(
-                    f"⚠️ Only {int(c)} triplets generated for strategy: "
-                    f"{cfg.strategy} (target={targets[bi]})",
-                    file=sys.stderr,
-                )
-        results.append(export_results(per_cfg))
-    return results
+
+def run_bucket(
+    cfg: RunConfig,
+    hyper_rows: Sequence[Dict[str, float]],
+    config_indices: Sequence[int],
+    seed: int = DEFAULT_SEED,
+    mesh: Optional[Mesh] = None,
+    use_pallas: Optional[bool] = None,
+    caps=None,
+    bucket_configs: Optional[Sequence[RunConfig]] = None,
+) -> List[Dict[str, Any]]:
+    """Synchronous :func:`run_bucket_async` — dispatch, collect, assemble."""
+    return run_bucket_async(
+        cfg, hyper_rows, config_indices, seed=seed, mesh=mesh,
+        use_pallas=use_pallas, caps=caps, bucket_configs=bucket_configs,
+    ).collect()
+
+
+class BucketFuture:
+    """An in-flight bucket: async XLA dispatch now, ordered collect later.
+
+    ``collect()`` owns the transient-failure recovery (SURVEY §5.3):
+    remote compilation and the device transport can hiccup; it retries
+    (re-dispatching as needed) with backoff before giving up so long
+    sweeps survive infrastructure blips.  Errors therefore always surface
+    at THIS bucket's collect — chunk attribution is unchanged from the
+    sequential path even when a later bucket is already queued behind it.
+    """
+
+    def __init__(self, dispatch, postprocess):
+        self._dispatch = dispatch
+        self._post = postprocess
+        self._out = None
+        # Dispatch errors (tracing/compile) are deferred into collect()'s
+        # retry loop so a pipelined caller sees every failure in bucket
+        # order, at the same call site, with the same retry budget.
+        try:
+            self._out = dispatch()
+        except (jax.errors.JaxRuntimeError, ValueError):
+            self._out = None
+
+    def collect(self) -> List[Dict[str, Any]]:
+        host = self._collect_host()
+        return self._post(host)
+
+    def _collect_host(self):
+        last_err = None
+        attempts = 6
+        fp_attempts = 0
+        for attempt in range(attempts):
+            try:
+                if self._out is None:
+                    self._out = self._dispatch()
+                # Materialize inside the retry scope: dispatch is async, so
+                # device failures surface at the host transfer.  One
+                # device_get for the whole dict: it issues async host copies
+                # for every leaf before blocking, so the ~25 result arrays
+                # pay one tunnel round-trip instead of one each (~0.45s per
+                # bucket on the axon transport).
+                return jax.device_get(dict(self._out))
+            except (jax.errors.JaxRuntimeError, ValueError) as e:
+                # ValueError included: backend failures during tracing
+                # (e.g. a FAILED_PRECONDITION surfacing from a traced
+                # arange while the tunnel restarts) arrive as plain
+                # ValueError, not JaxRuntimeError (observed killing a
+                # resume pass).
+                last_err = e
+                msg = str(e)
+                # Re-dispatch on the next attempt: the in-flight buffers
+                # are dead after a device error.
+                self._out = None
+                if _is_oom(msg):
+                    # Deterministic compile/runtime OOM: retrying the same
+                    # shape is useless (and via remote_compile each retry
+                    # is minutes) — let the chunk bisector handle it.
+                    raise
+                # NB: XLA wraps deterministic failures in INTERNAL too —
+                # only retry statuses that are reliably infrastructure-side.
+                is_fp = ("FAILED_PRECONDITION" in msg
+                         or "FailedPrecondition" in msg)
+                if is_fp:
+                    # Axon-tunnel worker restarts surface as bare
+                    # FAILED_PRECONDITION "TPU backend error" at the host
+                    # transfer (observed killing a sweep at config 64/252)
+                    # — retryable over the full multi-minute backoff
+                    # budget.  But a poisoned persistent compile cache
+                    # produces the SAME status deterministically, so after
+                    # the second hit run the canary/fresh-compile
+                    # differential inline: it purges a poisoned cache
+                    # (making the next retry succeed) and is a no-op when
+                    # the backend is merely restarting (ADVICE r2 +
+                    # review r3).
+                    fp_attempts += 1
+                    if fp_attempts == 2:
+                        from mfcd_tpu.cache import ensure_cache_healthy
+
+                        try:
+                            if not ensure_cache_healthy():
+                                print("⚠️ purged poisoned compile cache; "
+                                      "retrying", file=sys.stderr)
+                        except Exception as probe_err:  # noqa: BLE001
+                            # Backend down (fresh compile failed too) —
+                            # keep backing off through the remaining
+                            # attempts.
+                            print(f"⚠️ backend still down during cache "
+                                  f"probe: {str(probe_err)[:80]}",
+                                  file=sys.stderr)
+                transient = any(tok in msg for tok in
+                                ("remote_compile", "UNAVAILABLE",
+                                 "DEADLINE_EXCEEDED",
+                                 "worker process crashed")) or is_fp
+                if not transient or attempt == attempts - 1:
+                    if is_fp:
+                        print(
+                            "⚠️ persistent FAILED_PRECONDITION: if a bare "
+                            "fresh-compile probe works, the persistent "
+                            "compile cache likely holds executables from a "
+                            "restarted TPU worker — delete .jax_cache "
+                            "(see CLAUDE.md).",
+                            file=sys.stderr,
+                        )
+                    raise
+                import time as _time
+
+                print(f"⚠️ transient device error "
+                      f"(attempt {attempt + 1}/{attempts}), "
+                      f"retrying: {msg[:120]}", file=sys.stderr)
+                _time.sleep(15 * (attempt + 1))
+        raise last_err  # pragma: no cover — loop always returns or raises
 
 
 def default_max_bucket(cfg: RunConfig, t_cap: Optional[int] = None) -> int:
@@ -334,9 +397,7 @@ def parameter_scan_fast(
         bucket_cap = (max_bucket if max_bucket is not None
                       else default_max_bucket(
                           rep_cfg, t_cap=caps[0] if caps else None))
-        def _run_chunk(chunk):
-            """Run a chunk; on device OOM, bisect it (the budget estimate
-            is a heuristic — halving converges to a fitting size)."""
+        def _dispatch_chunk(chunk) -> BucketFuture:
             rows = [
                 {
                     "s": configs[i].s,
@@ -345,10 +406,15 @@ def parameter_scan_fast(
                 }
                 for i in chunk
             ]
+            return run_bucket_async(
+                rep_cfg, rows, chunk, seed=seed, mesh=mesh, caps=caps,
+                bucket_configs=[configs[i] for i in chunk])
+
+        def _run_chunk(chunk):
+            """Run a chunk; on device OOM, bisect it (the budget estimate
+            is a heuristic — halving converges to a fitting size)."""
             try:
-                return run_bucket(rep_cfg, rows, chunk, seed=seed, mesh=mesh,
-                                  caps=caps,
-                                  bucket_configs=[configs[i] for i in chunk])
+                return _dispatch_chunk(chunk).collect()
             except (jax.errors.JaxRuntimeError, ValueError) as e:
                 if not _is_oom(str(e)) or len(chunk) <= 1:
                     raise
@@ -357,9 +423,7 @@ def parameter_scan_fast(
                       f"bisecting", file=sys.stderr)
                 return _run_chunk(chunk[:mid]) + _run_chunk(chunk[mid:])
 
-        for lo in range(0, len(indices), bucket_cap):
-            chunk = indices[lo:lo + bucket_cap]
-            outs = _run_chunk(chunk)
+        def _store(chunk, outs):
             for i, res in zip(chunk, outs):
                 slot_results[i] = res
             if save_path:
@@ -371,6 +435,43 @@ def parameter_scan_fast(
                     [{"params": param_sets[i], "results": res}
                      for i, res in zip(chunk, outs)],
                 )
+
+        def _flush(chunk, fut):
+            """Collect a pipelined chunk; on OOM fall back to the
+            synchronous bisector (no pipeline during bisection, so
+            attribution and sizing behave exactly as the sequential
+            path — one chunk's working set at a time)."""
+            try:
+                outs = fut.collect()
+            except (jax.errors.JaxRuntimeError, ValueError) as e:
+                if not _is_oom(str(e)) or len(chunk) <= 1:
+                    raise
+                mid = len(chunk) // 2
+                print(f"⚠️ device OOM on a pipelined {len(chunk)}-config "
+                      f"chunk; bisecting synchronously", file=sys.stderr)
+                outs = _run_chunk(chunk[:mid]) + _run_chunk(chunk[mid:])
+            _store(chunk, outs)
+
+        # MFCD_PIPELINE=1: 1-deep software pipeline — dispatch chunk k+1
+        # (async XLA execution starts immediately) BEFORE collecting and
+        # exporting chunk k, hiding host-side device_get/export/pickle
+        # time (~7.7 ms/run at the bench bucket) behind device compute.
+        # Two chunks in flight doubles peak working set (~2 GB each per
+        # default_max_bucket); errors still surface in chunk order at
+        # each chunk's collect.  Default off until device-measured.
+        pipeline = os.environ.get("MFCD_PIPELINE", "0") == "1"
+        pending = None
+        for lo in range(0, len(indices), bucket_cap):
+            chunk = indices[lo:lo + bucket_cap]
+            if not pipeline:
+                _store(chunk, _run_chunk(chunk))
+                continue
+            fut = _dispatch_chunk(chunk)
+            if pending is not None:
+                _flush(*pending)
+            pending = (chunk, fut)
+        if pending is not None:
+            _flush(*pending)
 
     if save_path:
         return []
