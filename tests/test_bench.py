@@ -28,3 +28,59 @@ def test_bench_quick_stdout_is_one_json_line():
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert rec["unit"] == "runs/hour/chip"
     assert rec["value"] > 0
+
+
+def _import_bench():
+    sys.path.insert(0, HERE)
+    try:
+        import bench
+    finally:
+        sys.path.remove(HERE)
+    return bench
+
+
+def test_degraded_metric_name_matches_requested_mode(monkeypatch):
+    """ADVICE r3 #1: a tunnel-down --sweep/--k10 run must report the
+    metric of the REQUESTED mode, not the default headline."""
+    bench = _import_bench()
+    emitted = []
+    monkeypatch.setattr(bench, "device_reachable", lambda: False)
+    for argv, expect in [
+        (["bench.py", "--sweep"], "sweep_runs_per_hour_per_chip_1000x1000_sxwd"),
+        (["bench.py", "--k10"], "k10_full_training_runs_per_hour_per_chip_pallas"),
+        (["bench.py", "--quick"], "quick_smoke_runs_per_hour_per_chip_100x100"),
+        (["bench.py"], "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2"),
+    ]:
+        monkeypatch.setattr(sys, "argv", argv)
+        monkeypatch.setattr(
+            "builtins.print", lambda s, _e=emitted: _e.append(s))
+        bench.main()
+        rec = json.loads(emitted[-1])
+        assert rec["metric"] == expect, (argv, rec)
+        assert rec["value"] == 0.0 and "error" in rec
+
+
+def test_emit_persists_last_good_and_degraded_cites_it(tmp_path, monkeypatch):
+    """VERDICT r3 item 1: successful measurements persist; degraded runs
+    cite the last real number instead of reporting only 0.0."""
+    bench = _import_bench()
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "BENCH_LAST_GOOD.json"))
+    # bench resolves the path relative to its own directory; make the
+    # monkeypatched value absolute so tmp_path wins.
+    payload = {"metric": "m", "value": 42.0, "unit": "u", "vs_baseline": 1.0}
+    bench.emit(payload)
+    rec = json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))
+    assert rec["value"] == 42.0
+    assert "measured_at_utc" in rec and "commit" in rec
+    deg = bench._degraded_payload("m")
+    assert deg["value"] == 0.0 and deg["last_good"]["value"] == 42.0
+    # A degraded emit must NOT overwrite the last-good record.
+    bench.emit(deg)
+    assert json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))["value"] == 42.0
+
+
+def test_probe_schedule_spans_multiple_windows():
+    bench = _import_bench()
+    assert len(bench.PROBE_SCHEDULE) >= 3
+    assert sum(t + s for t, s in bench.PROBE_SCHEDULE) >= 1800
