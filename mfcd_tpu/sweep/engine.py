@@ -16,6 +16,7 @@ pickle persistence follow the reference exactly (``structure.py:120-255``).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, List, Optional
 
@@ -226,6 +227,45 @@ def _metrics_bucket(params, x, s, test, rows_keys, sample_counts,
         params, x, s, test, rows_keys, sample_counts, tl, vl)
 
 
+@partial(jax.jit, static_argnames=(
+    "K", "soft_label", "batch_size", "num_epochs", "reshuffle_period",
+    "use_pallas"))
+def _label_train_bucket(x, splits, streams, s, params, lr, wd,
+                        K: int, soft_label: bool, batch_size: int,
+                        num_epochs: int, reshuffle_period: int,
+                        use_pallas: bool):
+    """Fused stage 1b+2 (``MFCD_FUSE_LABEL=1``): label -> pad -> train as
+    ONE program.
+
+    The label stage's compile key (capacity shapes, K, soft_label) is a
+    subset of this fused key, so fusion adds no compile-cache entries
+    beyond what the label stage already cost — it saves two dispatches
+    (label, pad) and the HBM round trip of the unpadded splits between
+    programs (NOTES_ROUND3.md candidate #2).  Inner jitted stages inline
+    under this jit; the emitted op graph per stage is unchanged.
+    Default off until device-measured (VERDICT r3 item 3).
+    """
+    train, val, test = _label_bucket(x, splits, streams, s,
+                                     K=K, soft_label=soft_label)
+    train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
+    val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
+    test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
+    if use_pallas:
+        params, tl, vl = _train_bucket_pallas(
+            params, train, val, streams["epochs"], lr, wd,
+            batch_size=batch_size, num_epochs=num_epochs,
+            label_denom=K if soft_label else 1,
+            reshuffle_period=reshuffle_period,
+        )
+    else:
+        params, tl, vl = _train_bucket_jnp(
+            params, train, val, streams["epochs"], lr, wd,
+            batch_size=batch_size, num_epochs=num_epochs,
+            reshuffle_period=reshuffle_period,
+        )
+    return params, tl, vl, test
+
+
 @partial(jax.jit, static_argnames=("rows",))
 def _pad_rows(split: LabeledSplit, rows: int) -> LabeledSplit:
     """Pad a split's row axis (last dim) to ``rows``; counts unchanged.
@@ -287,31 +327,40 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     )
     x, params, splits, streams = _sample_bucket(
         sk, rep_keys2d, budgets, extra_budgets)
-    train, val, test = _label_bucket(
-        x, splits, streams, s, K=cfg.K, soft_label=cfg.soft_label)
-
-    train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
-    val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
-    test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
 
     # Resolved here — in plain Python, per call — so MFCD_RESHUFFLE_PERIOD
     # is always part of the train stage's static compile key.
     from mfcd_tpu.ops.shuffle import default_reshuffle_period
 
     period = default_reshuffle_period()
-    if use_pallas:
-        params, tl, vl = _train_bucket_pallas(
-            params, train, val, streams["epochs"], lr, weight_decay,
+    if os.environ.get("MFCD_FUSE_LABEL", "0") == "1":
+        params, tl, vl, test = _label_train_bucket(
+            x, splits, streams, s, params, lr, weight_decay,
+            K=cfg.K, soft_label=cfg.soft_label,
             batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-            label_denom=cfg.K if cfg.soft_label else 1,
-            reshuffle_period=period,
+            reshuffle_period=period, use_pallas=use_pallas,
         )
     else:
-        params, tl, vl = _train_bucket_jnp(
-            params, train, val, streams["epochs"], lr, weight_decay,
-            batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-            reshuffle_period=period,
-        )
+        train, val, test = _label_bucket(
+            x, splits, streams, s, K=cfg.K, soft_label=cfg.soft_label)
+
+        train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
+        val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
+        test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
+
+        if use_pallas:
+            params, tl, vl = _train_bucket_pallas(
+                params, train, val, streams["epochs"], lr, weight_decay,
+                batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+                label_denom=cfg.K if cfg.soft_label else 1,
+                reshuffle_period=period,
+            )
+        else:
+            params, tl, vl = _train_bucket_jnp(
+                params, train, val, streams["epochs"], lr, weight_decay,
+                batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+                reshuffle_period=period,
+            )
 
     return _metrics_bucket(
         params, x, s, test, streams["sample_rows"], splits.sample.count,

@@ -25,4 +25,5 @@ run_step smoke python scripts/smoke_multiepoch.py
 run_step sample_prof python scripts/profile_sample.py
 run_step validate python scripts/validate_multiepoch.py --reps 16
 run_step pipeline_ab python scripts/profile_pipeline_ab.py
+run_step fuse_ab python scripts/profile_fuse_ab.py
 echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a /tmp/devlog/driver.log
