@@ -181,13 +181,17 @@ class BucketFuture:
         self._dispatch = dispatch
         self._post = postprocess
         self._out = None
+        self._init_err = None
         # Dispatch errors (tracing/compile) are deferred into collect()'s
         # retry loop so a pipelined caller sees every failure in bucket
-        # order, at the same call site, with the same retry budget.
+        # order, at the same call site, with the same classification —
+        # in particular an OOM at dispatch must reach the caller's
+        # bisector from collect(), not escape at the dispatch call site.
         try:
             self._out = dispatch()
-        except (jax.errors.JaxRuntimeError, ValueError):
+        except (jax.errors.JaxRuntimeError, ValueError) as e:
             self._out = None
+            self._init_err = e
 
     def collect(self) -> List[Dict[str, Any]]:
         host = self._collect_host()
@@ -197,8 +201,16 @@ class BucketFuture:
         last_err = None
         attempts = 6
         fp_attempts = 0
+        # A construction-time dispatch failure replays through the same
+        # classification below (consuming attempt 0) WITHOUT a redundant
+        # re-dispatch first: deterministic failures (OOM, INVALID_...)
+        # must not pay a second multi-minute compile just to re-raise.
+        pending_err, self._init_err = self._init_err, None
         for attempt in range(attempts):
             try:
+                if pending_err is not None:
+                    err, pending_err = pending_err, None
+                    raise err
                 if self._out is None:
                     self._out = self._dispatch()
                 # Materialize inside the retry scope: dispatch is async, so
