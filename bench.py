@@ -156,19 +156,34 @@ def _git_head() -> str:
         return "unknown"
 
 
+def _active_backend() -> str:
+    """Platform the measurement actually ran on (monkeypatchable)."""
+    import jax
+
+    return jax.default_backend()
+
+
 def emit(payload: dict) -> None:
     """Print the one graded JSON line; persist successful measurements.
 
     A successful on-device measurement is written to BENCH_LAST_GOOD.json
     (with timestamp + commit) so a later degraded run can cite the last
-    real number instead of reporting only 0.0.
+    real number instead of reporting only 0.0.  CPU runs (the test suite
+    invokes ``bench.py --quick`` on CPU in a subprocess) must NOT be
+    persisted: a CPU throughput masquerading as the last on-device
+    number would corrupt the degraded citation.
     """
     print(json.dumps(payload))
     if payload.get("value", 0.0) > 0.0 and "error" not in payload:
+        backend = _active_backend()
+        if backend == "cpu":
+            log("not persisting last-good: measurement ran on cpu")
+            return
         import datetime
         import os
 
         record = dict(payload)
+        record["platform"] = backend
         record["measured_at_utc"] = datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds")
         record["commit"] = _git_head()

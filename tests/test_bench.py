@@ -66,6 +66,7 @@ def test_emit_persists_last_good_and_degraded_cites_it(tmp_path, monkeypatch):
     bench = _import_bench()
     monkeypatch.setattr(bench, "LAST_GOOD_PATH",
                         str(tmp_path / "BENCH_LAST_GOOD.json"))
+    monkeypatch.setattr(bench, "_active_backend", lambda: "tpu")
     # bench resolves the path relative to its own directory; make the
     # monkeypatched value absolute so tmp_path wins.
     payload = {"metric": "m", "value": 42.0, "unit": "u", "vs_baseline": 1.0}
@@ -73,11 +74,24 @@ def test_emit_persists_last_good_and_degraded_cites_it(tmp_path, monkeypatch):
     rec = json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))
     assert rec["value"] == 42.0
     assert "measured_at_utc" in rec and "commit" in rec
+    assert rec["platform"] == "tpu"
     deg = bench._degraded_payload("m")
     assert deg["value"] == 0.0 and deg["last_good"]["value"] == 42.0
     # A degraded emit must NOT overwrite the last-good record.
     bench.emit(deg)
     assert json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))["value"] == 42.0
+
+
+def test_cpu_measurements_are_not_persisted(tmp_path, monkeypatch):
+    """The CPU subprocess smoke (and any CPU invocation) must never write
+    the on-device last-good record — that is exactly the pollution a
+    degraded graded run would then cite as a real chip number."""
+    bench = _import_bench()
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "BENCH_LAST_GOOD.json"))
+    monkeypatch.setattr(bench, "_active_backend", lambda: "cpu")
+    bench.emit({"metric": "m", "value": 9.0, "unit": "u", "vs_baseline": 1.0})
+    assert not (tmp_path / "BENCH_LAST_GOOD.json").exists()
 
 
 def test_probe_schedule_spans_multiple_windows():
