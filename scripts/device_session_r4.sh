@@ -3,19 +3,24 @@
 # secure the graded bench number FIRST (VERDICT r3 item 1: round 3 lost
 # its headline artifact to the outage), then the multi-epoch window
 # kernel decision data (item 2), then stage profiles for the deferred
-# optimizations (item 3).  Each step logs to /tmp/devlog/<step>.log; a
-# step failure does not stop later steps.  NEVER run two of these
+# optimizations (item 3), then a second bench pass so the round ends
+# with a fresh number even if the tunnel drops again.  Logs persist
+# under docs/device_r4/ INSIDE the repo so the measurements survive and
+# get committed even if no builder session is active at recovery time.
+# A step failure does not stop later steps.  NEVER run two of these
 # concurrently, and never run another TPU process while one is active.
 set -u
-mkdir -p /tmp/devlog
 cd /root/repo
+LOGDIR=docs/device_r4
+mkdir -p "$LOGDIR"
+ln -sfn /root/repo/$LOGDIR /tmp/devlog 2>/dev/null || true
 
 run_step() {
   local name="$1"; shift
-  echo "=== $name: $(date -u +%H:%M:%S) ===" | tee -a /tmp/devlog/driver.log
-  "$@" > "/tmp/devlog/$name.log" 2>&1
+  echo "=== $name: $(date -u +%H:%M:%S) ===" | tee -a "$LOGDIR/driver.log"
+  "$@" > "$LOGDIR/$name.log" 2>&1
   local rc=$?
-  echo "=== $name done rc=$rc $(date -u +%H:%M:%S) ===" | tee -a /tmp/devlog/driver.log
+  echo "=== $name done rc=$rc $(date -u +%H:%M:%S) ===" | tee -a "$LOGDIR/driver.log"
   return $rc
 }
 
@@ -26,4 +31,5 @@ run_step sample_prof python scripts/profile_sample.py
 run_step validate python scripts/validate_multiepoch.py --reps 16
 run_step pipeline_ab python scripts/profile_pipeline_ab.py
 run_step fuse_ab python scripts/profile_fuse_ab.py
-echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a /tmp/devlog/driver.log
+run_step bench_final python bench.py
+echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a "$LOGDIR/driver.log"
