@@ -32,6 +32,51 @@ def _scan(tmp_path, name, pipeline):
         os.environ.pop("MFCD_PIPELINE", None)
 
 
+def test_pipeline_oom_falls_back_to_synchronous_bisect(tmp_path, monkeypatch):
+    """A pipelined chunk that OOMs at collect must be re-run through the
+    synchronous bisector (sweep/batched.py::_flush) with results and
+    persistence identical to the unfaulted sequential scan."""
+    from mfcd_tpu.sweep import batched
+
+    def run(name, pipeline, inject):
+        state = {"injected": False}
+        orig = batched.BucketFuture.collect
+        if inject:
+            def failing(self):
+                if not state["injected"]:
+                    state["injected"] = True
+                    raise ValueError("RESOURCE_EXHAUSTED: injected OOM")
+                return orig(self)
+            monkeypatch.setattr(batched.BucketFuture, "collect", failing)
+        else:
+            monkeypatch.setattr(batched.BucketFuture, "collect", orig)
+        monkeypatch.setenv("MFCD_PIPELINE", "1" if pipeline else "0")
+        path = str(tmp_path / f"{name}.pkl")
+        parameter_scan_fast(
+            n=24, m=24, d=2, p=0.6, s=[1.0, 2.0, 3.0], num_epochs=4,
+            reps=2, max_bucket=2,  # chunks of 2 + 1: first flush len-2
+            save_path=path, save_every=1,
+        )
+        with open(path, "rb") as f:
+            return pickle.load(f), state
+
+    seq, _ = run("seq", pipeline=False, inject=False)
+    pipe, state = run("oom", pipeline=True, inject=True)
+    assert state["injected"], "fault was never exercised"
+    assert [r["params"] for r in pipe] == [r["params"] for r in seq]
+    for a, b in zip(seq, pipe):
+        for k in a["results"]:
+            av, bv = a["results"][k], b["results"][k]
+            if isinstance(av, list) and any(
+                    np.shape(x) != np.shape(av[0]) for x in av):
+                for ar, br in zip(av, bv):
+                    np.testing.assert_array_equal(np.asarray(ar),
+                                                  np.asarray(br))
+            else:
+                np.testing.assert_array_equal(np.asarray(av),
+                                              np.asarray(bv), err_msg=k)
+
+
 def test_pipeline_matches_sequential(tmp_path):
     seq = _scan(tmp_path, "seq", pipeline=False)
     pipe = _scan(tmp_path, "pipe", pipeline=True)
