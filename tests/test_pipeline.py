@@ -32,6 +32,38 @@ def _scan(tmp_path, name, pipeline):
         os.environ.pop("MFCD_PIPELINE", None)
 
 
+def test_pipeline_sharded_matches_sequential_unsharded(tmp_path, monkeypatch):
+    """Pipeline x mesh: dispatching chunk k+1 while chunk k collects must
+    compose with bucket-axis sharding (the production TPU-slice regime).
+    Float keys allow the documented 1-ulp local-shape tiling tolerance."""
+    from mfcd_tpu.sweep.batched import make_sweep_mesh
+
+    seq = _scan(tmp_path, "seq_um", pipeline=False)
+    monkeypatch.setenv("MFCD_PIPELINE", "1")
+    path = str(tmp_path / "pipe_mesh.pkl")
+    parameter_scan_fast(
+        n=24, m=24, d=2, p=0.6, s=[1.0, 2.0, 3.0, 5.0, 8.0],
+        weight_decay=[1e-5, 1e-4], num_epochs=4, reps=2,
+        max_bucket=3, mesh=make_sweep_mesh(8),
+        save_path=path, save_every=1,
+    )
+    with open(path, "rb") as f:
+        pipe = pickle.load(f)
+    assert [r["params"] for r in pipe] == [r["params"] for r in seq]
+    for a, b in zip(seq, pipe):
+        for k in a["results"]:
+            av, bv = a["results"][k], b["results"][k]
+            ragged = isinstance(av, list) and any(
+                np.shape(x) != np.shape(av[0]) for x in av)
+            pairs = zip(av, bv) if ragged else [(av, bv)]
+            for ar, br in pairs:
+                ar, br = np.asarray(ar), np.asarray(br)
+                if ar.dtype.kind == "f":
+                    np.testing.assert_allclose(ar, br, rtol=3e-7, err_msg=k)
+                else:
+                    np.testing.assert_array_equal(ar, br, err_msg=k)
+
+
 def test_pipeline_oom_falls_back_to_synchronous_bisect(tmp_path, monkeypatch):
     """A pipelined chunk that OOMs at collect must be re-run through the
     synchronous bisector (sweep/batched.py::_flush) with results and
