@@ -136,6 +136,16 @@ def test_parity_p7_popularity_strategy(reference):
     _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
 
 
+def test_parity_p8_svd_strategy(reference):
+    """P8: svd sampler end-to-end (truncated-SVD importance projection;
+    the last strategy family the protocol points did not cover —
+    VERDICT r3 weak #3)."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="svd")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
 def test_triplet_budget_matches_reference_formula(reference):
     """num_triplets = int(n*m*p/2) exactly (structure.py:356)."""
     from mfcd_tpu.core.config import RunConfig
