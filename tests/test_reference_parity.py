@@ -146,6 +146,39 @@ def test_parity_p8_svd_strategy(reference):
     _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
 
 
+def test_parity_p9_top_k_strategy(reference):
+    """P9: top_k sampler end-to-end (popular-item prefix domain)."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="top_k")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
+def test_parity_p10_variance_strategy(reference):
+    """P10: variance sampler end-to-end (high-variance item proposals)."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="variance")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
+def test_parity_p11_cluster_strategy(reference):
+    """P11: cluster sampler end-to-end (item-cluster contrastive pairs)."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="cluster")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
+def test_parity_p12_user_similarity_strategy(reference):
+    """P12: user_similarity sampler end-to-end (neighbor difference-set
+    mixture) — completes end-to-end coverage of all 9 strategies."""
+    cfg = dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="user_similarity")
+    ref_out, our_out = _both(reference, cfg)
+    _ci_assert(ref_out, our_out, ["gt_accuracy", "accuracy", "pearson_corr"])
+
+
 def test_triplet_budget_matches_reference_formula(reference):
     """num_triplets = int(n*m*p/2) exactly (structure.py:356)."""
     from mfcd_tpu.core.config import RunConfig
