@@ -125,10 +125,16 @@ def _probe_once(timeout_s: int) -> bool:
 
 
 #: Staged probe schedule: (probe timeout, sleep after failure).  Three
-#: bounded attempts spread over ~35 min ride out short tunnel blips and
-#: worker restarts instead of betting the round's artifact on one window
-#: (round 3 lost its headline number to exactly that).
-PROBE_SCHEDULE = ((300, 300), (600, 600), (900, 0))
+#: bounded attempts ride out short tunnel blips and worker restarts
+#: instead of betting the round's artifact on one window (round 3 lost
+#: its headline number to exactly that).  Worst-case time to the
+#: degraded JSON line: 2100 s (~35 min) when every probe HANGS to its
+#: timeout (the observed outage mode), ~17 min when probes fail fast.
+#: A healthy first dispatch of the tiny probe program is seconds even
+#: with the executable upload, so the 300 s first window kills the
+#: child only when the tunnel is already unresponsive — not mid-compile
+#: on a healthy backend (the CLAUDE.md wedge mode).
+PROBE_SCHEDULE = ((300, 240), (540, 420), (600, 0))
 
 
 def device_reachable() -> bool:
@@ -149,11 +155,34 @@ def _git_head() -> str:
     import subprocess
 
     try:
-        return subprocess.run(
+        out = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
             text=True, timeout=10).stdout.strip()
+        return out or "unknown"
     except Exception:  # noqa: BLE001 — commit stamp is best-effort
         return "unknown"
+
+
+def _last_good_file() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        LAST_GOOD_PATH)
+
+
+def _load_last_good() -> dict:
+    """The persisted store, keyed by metric name.
+
+    Accepts the legacy flat single-record layout (a dict with a 'metric'
+    key at top level) by lifting it into {metric: record}."""
+    try:
+        with open(_last_good_file()) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if "metric" in data:
+        return {data["metric"]: data}
+    return data
 
 
 def _active_backend() -> str:
@@ -180,27 +209,28 @@ def emit(payload: dict) -> None:
             log("not persisting last-good: measurement ran on cpu")
             return
         import datetime
-        import os
 
         record = dict(payload)
         record["platform"] = backend
         record["measured_at_utc"] = datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds")
         record["commit"] = _git_head()
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            LAST_GOOD_PATH)
+        # Keyed by metric: a quick/sweep/k10 measurement must never
+        # masquerade as the last full-training number (and vice versa)
+        # when a later degraded run cites its own metric's record.
+        store = _load_last_good()
+        store[record["metric"]] = record
         try:
-            with open(path, "w") as f:
-                json.dump(record, f, indent=1)
+            with open(_last_good_file(), "w") as f:
+                json.dump(store, f, indent=1)
                 f.write("\n")
         except OSError as e:
             log(f"could not persist last-good measurement: {e}")
 
 
 def _degraded_payload(metric: str) -> dict:
-    """Parseable failure record, citing the last on-device success if any."""
-    import os
-
+    """Parseable failure record, citing the last on-device success for
+    THIS metric if any (never a different benchmark's number)."""
     payload = {
         "metric": metric,
         "value": 0.0,
@@ -208,13 +238,9 @@ def _degraded_payload(metric: str) -> dict:
         "vs_baseline": 0.0,
         "error": "device unreachable (axon tunnel down); see stderr",
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        LAST_GOOD_PATH)
-    try:
-        with open(path) as f:
-            payload["last_good"] = json.load(f)
-    except (OSError, ValueError):
-        pass
+    record = _load_last_good().get(metric)
+    if record is not None:
+        payload["last_good"] = record
     return payload
 
 

@@ -422,11 +422,12 @@ def parameter_scan_fast(
                 rep_cfg, rows, chunk, seed=seed, mesh=mesh, caps=caps,
                 bucket_configs=[configs[i] for i in chunk])
 
-        def _run_chunk(chunk):
-            """Run a chunk; on device OOM, bisect it (the budget estimate
-            is a heuristic — halving converges to a fitting size)."""
+        def _collect_or_bisect(chunk, fut):
+            """Collect a chunk; on device OOM, bisect it (the budget
+            estimate is a heuristic — halving converges to a fitting
+            size)."""
             try:
-                return _dispatch_chunk(chunk).collect()
+                return fut.collect()
             except (jax.errors.JaxRuntimeError, ValueError) as e:
                 if not _is_oom(str(e)) or len(chunk) <= 1:
                     raise
@@ -434,6 +435,9 @@ def parameter_scan_fast(
                 print(f"⚠️ device OOM on a {len(chunk)}-config chunk; "
                       f"bisecting", file=sys.stderr)
                 return _run_chunk(chunk[:mid]) + _run_chunk(chunk[mid:])
+
+        def _run_chunk(chunk):
+            return _collect_or_bisect(chunk, _dispatch_chunk(chunk))
 
         def _store(chunk, outs):
             for i, res in zip(chunk, outs):
@@ -448,29 +452,18 @@ def parameter_scan_fast(
                      for i, res in zip(chunk, outs)],
                 )
 
-        def _flush(chunk, fut):
-            """Collect a pipelined chunk; on OOM fall back to the
-            synchronous bisector (no pipeline during bisection, so
-            attribution and sizing behave exactly as the sequential
-            path — one chunk's working set at a time)."""
-            try:
-                outs = fut.collect()
-            except (jax.errors.JaxRuntimeError, ValueError) as e:
-                if not _is_oom(str(e)) or len(chunk) <= 1:
-                    raise
-                mid = len(chunk) // 2
-                print(f"⚠️ device OOM on a pipelined {len(chunk)}-config "
-                      f"chunk; bisecting synchronously", file=sys.stderr)
-                outs = _run_chunk(chunk[:mid]) + _run_chunk(chunk[mid:])
-            _store(chunk, outs)
-
         # MFCD_PIPELINE=1: 1-deep software pipeline — dispatch chunk k+1
         # (async XLA execution starts immediately) BEFORE collecting and
         # exporting chunk k, hiding host-side device_get/export/pickle
         # time (~7.7 ms/run at the bench bucket) behind device compute.
         # Two chunks in flight doubles peak working set (~2 GB each per
         # default_max_bucket); errors still surface in chunk order at
-        # each chunk's collect.  Default off until device-measured.
+        # each chunk's collect.  If chunk k OOMs while k+1 is already in
+        # flight, k+1 is DRAINED first so the bisection of k runs with a
+        # single chunk's working set (co-resident bisection halves would
+        # otherwise keep OOMing down to singletons); k's halves and then
+        # k+1's results persist in chunk order.  Default off until
+        # device-measured.
         pipeline = os.environ.get("MFCD_PIPELINE", "0") == "1"
         pending = None
         for lo in range(0, len(indices), bucket_cap):
@@ -478,12 +471,50 @@ def parameter_scan_fast(
             if not pipeline:
                 _store(chunk, _run_chunk(chunk))
                 continue
-            fut = _dispatch_chunk(chunk)
-            if pending is not None:
-                _flush(*pending)
-            pending = (chunk, fut)
+            try:
+                fut = _dispatch_chunk(chunk)
+            except Exception:
+                # Eager dispatch-side failure (host work before the XLA
+                # call, e.g. a device_put through a dying tunnel): the
+                # PREVIOUS chunk has completed on device — persist it
+                # before surfacing this chunk's error, exactly as the
+                # sequential order would have.
+                if pending is not None:
+                    _store(pending[0], _collect_or_bisect(*pending))
+                    pending = None
+                raise
+            if pending is None:
+                pending = (chunk, fut)
+            else:
+                p_chunk, p_fut = pending
+                pending = (chunk, fut)
+                try:
+                    outs = p_fut.collect()
+                except (jax.errors.JaxRuntimeError, ValueError) as e:
+                    if not _is_oom(str(e)) or len(p_chunk) <= 1:
+                        raise
+                    print(f"⚠️ device OOM on a pipelined {len(p_chunk)}"
+                          f"-config chunk; draining the in-flight chunk, "
+                          f"then bisecting", file=sys.stderr)
+                    try:
+                        next_outs = fut.collect()
+                        next_err = None
+                    except (jax.errors.JaxRuntimeError, ValueError) as ne:
+                        next_outs, next_err = None, ne
+                    mid = len(p_chunk) // 2
+                    _store(p_chunk, _run_chunk(p_chunk[:mid])
+                           + _run_chunk(p_chunk[mid:]))
+                    if next_outs is not None:
+                        _store(chunk, next_outs)
+                    elif _is_oom(str(next_err)) and len(chunk) > 1:
+                        _store(chunk, _run_chunk(chunk))
+                    else:
+                        raise next_err
+                    pending = None
+                    continue
+                _store(p_chunk, outs)
         if pending is not None:
-            _flush(*pending)
+            _store(pending[0], _collect_or_bisect(*pending))
 
     if save_path:
         return []

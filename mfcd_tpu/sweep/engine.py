@@ -237,13 +237,21 @@ def _label_train_bucket(x, splits, streams, s, params, lr, wd,
     """Fused stage 1b+2 (``MFCD_FUSE_LABEL=1``): label -> pad -> train as
     ONE program.
 
-    The label stage's compile key (capacity shapes, K, soft_label) is a
-    subset of this fused key, so fusion adds no compile-cache entries
-    beyond what the label stage already cost — it saves two dispatches
-    (label, pad) and the HBM round trip of the unpadded splits between
-    programs (NOTES_ROUND3.md candidate #2).  Inner jitted stages inline
-    under this jit; the emitted op graph per stage is unchanged.
-    Default off until device-measured (VERDICT r3 item 3).
+    Saves two dispatches (label, pad) and the HBM round trip of the
+    unpadded splits between programs (NOTES_ROUND3.md candidate #2).
+    Inner jitted stages inline under this jit; the emitted op graph per
+    stage is unchanged.
+
+    Compile-cost caveat: this jit keys on the UNPADDED capacity shapes
+    (the same key set as the label stage), but each entry now embeds a
+    full trainer compile.  Separately-staged, the trainer is keyed only
+    on pow2-padded rows and is SHARED across capacity buckets that pad
+    to the same size; fused, each such bucket recompiles the trainer —
+    a label-stage entry is cheap, a trainer entry is minutes.  The A/B
+    decision (scripts/profile_fuse_ab.py) must therefore weigh the
+    steady-state ms/run saved against (trainer compile time) x (number
+    of distinct capacity buckets in the workload), not just steady
+    state.  Default off until device-measured (VERDICT r3 item 3).
     """
     train, val, test = _label_bucket(x, splits, streams, s,
                                      K=K, soft_label=soft_label)

@@ -15,21 +15,27 @@ LOGDIR=docs/device_r4
 mkdir -p "$LOGDIR"
 ln -sfn /root/repo/$LOGDIR /tmp/devlog 2>/dev/null || true
 
+# Each step is bounded: the tunnel's observed outage mode is an
+# indefinite hang at the first dispatch, and an unbounded hung step
+# would starve every later step (including bench_final, the round's
+# safety net).  Bounds are several x the expected step time, so the
+# kill fires only when the tunnel is genuinely wedged — not mid-compile
+# on a healthy backend (the CLAUDE.md wedge mode).
 run_step() {
-  local name="$1"; shift
+  local secs="$1" name="$2"; shift 2
   echo "=== $name: $(date -u +%H:%M:%S) ===" | tee -a "$LOGDIR/driver.log"
-  "$@" > "$LOGDIR/$name.log" 2>&1
+  timeout -k 30 "$secs" "$@" > "$LOGDIR/$name.log" 2>&1
   local rc=$?
   echo "=== $name done rc=$rc $(date -u +%H:%M:%S) ===" | tee -a "$LOGDIR/driver.log"
   return $rc
 }
 
-run_step canary python -c "import mfcd_tpu; from mfcd_tpu.cache import ensure_cache_healthy; ensure_cache_healthy(); import jax; print(jax.devices())"
-run_step bench python bench.py
-run_step smoke python scripts/smoke_multiepoch.py
-run_step sample_prof python scripts/profile_sample.py
-run_step validate python scripts/validate_multiepoch.py --reps 16
-run_step pipeline_ab python scripts/profile_pipeline_ab.py
-run_step fuse_ab python scripts/profile_fuse_ab.py
-run_step bench_final python bench.py
+run_step 1800 canary python -c "import mfcd_tpu; from mfcd_tpu.cache import ensure_cache_healthy; ensure_cache_healthy(); import jax; print(jax.devices())"
+run_step 5400 bench python bench.py
+run_step 1800 smoke python scripts/smoke_multiepoch.py
+run_step 2700 sample_prof python scripts/profile_sample.py
+run_step 5400 validate python scripts/validate_multiepoch.py --reps 16
+run_step 5400 pipeline_ab python scripts/profile_pipeline_ab.py
+run_step 2700 fuse_ab python scripts/profile_fuse_ab.py
+run_step 5400 bench_final python bench.py
 echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a "$LOGDIR/driver.log"

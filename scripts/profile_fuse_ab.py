@@ -8,7 +8,13 @@ floor, so the expected win is the ~3-4 ms/run dispatch remainder
 (NOTES_ROUND3.md candidate #2).
 
 Decision rule (VERDICT r3 item 3): accept (flip default on) on a clear
-win; otherwise keep off or delete.
+win; otherwise keep off or delete.  NB this script times ONE capacity
+bucket; fusion embeds a trainer compile per capacity bucket (the
+separate-stage trainer is shared across buckets via pow2 padding — see
+engine._label_train_bucket), so acceptance additionally requires the
+steady-state saving to beat (trainer compile time) x (distinct capacity
+buckets) over a realistic sweep, e.g. the Runs.ipynb p-sweeps' ~6
+capacity buckets.
 
 Run standalone (single TPU process):
     python scripts/profile_fuse_ab.py

@@ -71,7 +71,7 @@ def test_emit_persists_last_good_and_degraded_cites_it(tmp_path, monkeypatch):
     # monkeypatched value absolute so tmp_path wins.
     payload = {"metric": "m", "value": 42.0, "unit": "u", "vs_baseline": 1.0}
     bench.emit(payload)
-    rec = json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))
+    rec = json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))["m"]
     assert rec["value"] == 42.0
     assert "measured_at_utc" in rec and "commit" in rec
     assert rec["platform"] == "tpu"
@@ -79,7 +79,25 @@ def test_emit_persists_last_good_and_degraded_cites_it(tmp_path, monkeypatch):
     assert deg["value"] == 0.0 and deg["last_good"]["value"] == 42.0
     # A degraded emit must NOT overwrite the last-good record.
     bench.emit(deg)
-    assert json.load(open(tmp_path / "BENCH_LAST_GOOD.json"))["value"] == 42.0
+    assert json.load(
+        open(tmp_path / "BENCH_LAST_GOOD.json"))["m"]["value"] == 42.0
+    # A different benchmark's success must not be cited for this metric,
+    # but must coexist in the store.
+    bench.emit({"metric": "quick", "value": 9.0, "unit": "u",
+                "vs_baseline": 1.0})
+    assert "last_good" not in bench._degraded_payload("other")
+    assert bench._degraded_payload("m")["last_good"]["value"] == 42.0
+    assert bench._degraded_payload("quick")["last_good"]["value"] == 9.0
+
+
+def test_legacy_flat_last_good_record_is_lifted(tmp_path, monkeypatch):
+    bench = _import_bench()
+    path = tmp_path / "BENCH_LAST_GOOD.json"
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(path))
+    path.write_text(json.dumps(
+        {"metric": "m", "value": 7.0, "unit": "u", "vs_baseline": 1.0}))
+    assert bench._degraded_payload("m")["last_good"]["value"] == 7.0
+    assert "last_good" not in bench._degraded_payload("other")
 
 
 def test_cpu_measurements_are_not_persisted(tmp_path, monkeypatch):

@@ -13,6 +13,8 @@ import pytest
 from mfcd_tpu.core.config import RunConfig
 from mfcd_tpu.sweep.batched import run_bucket
 
+from result_compare import assert_results_equal
+
 
 def _bucket(cfg, fuse):
     os.environ["MFCD_FUSE_LABEL"] = "1" if fuse else "0"
@@ -41,29 +43,8 @@ def test_fused_sharded_equals_fused_unsharded():
                              mesh=make_sweep_mesh(8))
     finally:
         os.environ.pop("MFCD_FUSE_LABEL", None)
-    def check(ar, br, key):
-        ar, br = np.asarray(ar), np.asarray(br)
-        if ar.dtype.kind == "f":
-            # 1-ulp reassociation tolerance: under the fused jit the
-            # whole label->train->metrics graph compiles at the LOCAL
-            # shard shape, so XLA's matmul/reduction tiling (and hence
-            # float summation order) can differ from the unsharded
-            # program on any float key (observed: one val_losses entry
-            # and svd_error_scaled at 6e-8; see NOTES_ROUND4.md).
-            np.testing.assert_allclose(ar, br, rtol=3e-7, err_msg=key)
-        else:
-            np.testing.assert_array_equal(ar, br, err_msg=key)
-
     for a, b in zip(plain, sharded):
-        assert a.keys() == b.keys()
-        for key in a:
-            av, bv = a[key], b[key]
-            if isinstance(av, list) and any(
-                    np.shape(x) != np.shape(av[0]) for x in av):
-                for ar, br in zip(av, bv):
-                    check(ar, br, key)
-            else:
-                check(av, bv, key)
+        assert_results_equal(a, b, float_rtol=3e-7)
 
 
 @pytest.mark.parametrize("k,soft", [(1, False), (4, True), (3, False)])
@@ -73,14 +54,4 @@ def test_fused_equals_separate(k, soft):
     sep = _bucket(cfg, fuse=False)
     fused = _bucket(cfg, fuse=True)
     for a, b in zip(sep, fused):
-        assert a.keys() == b.keys()
-        for key in a:
-            av, bv = a[key], b[key]
-            if isinstance(av, list) and any(
-                    np.shape(x) != np.shape(av[0]) for x in av):
-                for ar, br in zip(av, bv):
-                    np.testing.assert_array_equal(
-                        np.asarray(ar), np.asarray(br), err_msg=key)
-            else:
-                np.testing.assert_array_equal(
-                    np.asarray(av), np.asarray(bv), err_msg=key)
+        assert_results_equal(a, b)

@@ -14,6 +14,8 @@ import numpy as np
 
 from mfcd_tpu.sweep.batched import parameter_scan_fast
 
+from result_compare import assert_results_equal
+
 
 def _scan(tmp_path, name, pipeline):
     os.environ["MFCD_PIPELINE"] = "1" if pipeline else "0"
@@ -51,23 +53,14 @@ def test_pipeline_sharded_matches_sequential_unsharded(tmp_path, monkeypatch):
         pipe = pickle.load(f)
     assert [r["params"] for r in pipe] == [r["params"] for r in seq]
     for a, b in zip(seq, pipe):
-        for k in a["results"]:
-            av, bv = a["results"][k], b["results"][k]
-            ragged = isinstance(av, list) and any(
-                np.shape(x) != np.shape(av[0]) for x in av)
-            pairs = zip(av, bv) if ragged else [(av, bv)]
-            for ar, br in pairs:
-                ar, br = np.asarray(ar), np.asarray(br)
-                if ar.dtype.kind == "f":
-                    np.testing.assert_allclose(ar, br, rtol=3e-7, err_msg=k)
-                else:
-                    np.testing.assert_array_equal(ar, br, err_msg=k)
+        assert_results_equal(a["results"], b["results"], float_rtol=3e-7)
 
 
 def test_pipeline_oom_falls_back_to_synchronous_bisect(tmp_path, monkeypatch):
-    """A pipelined chunk that OOMs at collect must be re-run through the
-    synchronous bisector (sweep/batched.py::_flush) with results and
-    persistence identical to the unfaulted sequential scan."""
+    """A pipelined chunk that OOMs at collect must drain the in-flight
+    next chunk, then re-run through the synchronous bisector
+    (parameter_scan_fast's pipeline loop) with results and persistence
+    identical to the unfaulted sequential scan."""
     from mfcd_tpu.sweep import batched
 
     def run(name, pipeline, inject):
@@ -97,16 +90,7 @@ def test_pipeline_oom_falls_back_to_synchronous_bisect(tmp_path, monkeypatch):
     assert state["injected"], "fault was never exercised"
     assert [r["params"] for r in pipe] == [r["params"] for r in seq]
     for a, b in zip(seq, pipe):
-        for k in a["results"]:
-            av, bv = a["results"][k], b["results"][k]
-            if isinstance(av, list) and any(
-                    np.shape(x) != np.shape(av[0]) for x in av):
-                for ar, br in zip(av, bv):
-                    np.testing.assert_array_equal(np.asarray(ar),
-                                                  np.asarray(br))
-            else:
-                np.testing.assert_array_equal(np.asarray(av),
-                                              np.asarray(bv), err_msg=k)
+        assert_results_equal(a["results"], b["results"])
 
 
 def test_pipeline_matches_sequential(tmp_path):
@@ -116,14 +100,4 @@ def test_pipeline_matches_sequential(tmp_path):
     # Same order on disk (chunk flush order is preserved) and bit-exact.
     for a, b in zip(seq, pipe):
         assert a["params"] == b["params"]
-        assert a["results"].keys() == b["results"].keys()
-        for k in a["results"]:
-            av, bv = a["results"][k], b["results"][k]
-            if isinstance(av, list) and any(
-                    np.shape(x) != np.shape(av[0]) for x in av):
-                for ar, br in zip(av, bv):
-                    np.testing.assert_array_equal(np.asarray(ar),
-                                                  np.asarray(br))
-            else:
-                np.testing.assert_array_equal(np.asarray(av),
-                                              np.asarray(bv), err_msg=k)
+        assert_results_equal(a["results"], b["results"])
