@@ -150,6 +150,54 @@ def device_reachable() -> bool:
 
 LAST_GOOD_PATH = "BENCH_LAST_GOOD.json"
 
+#: Advisory lock serializing TPU-touching sessions.  Two concurrent
+#: tunnel users (e.g. the driver's graded bench colliding with the
+#: recovery backlog `scripts/device_session_r4.sh`, or with the tunnel
+#: watcher's probe) is the documented wedge mode (CLAUDE.md: "Never run
+#: two TPU-touching processes concurrently") — the exact failure that
+#: cost round 3 its headline artifact.
+TPU_LOCK_PATH = ".tpu_session.lock"
+
+_tpu_lock_fd = None  # held for process lifetime once acquired
+
+
+def _acquire_tpu_lock(max_wait_s: float = 3600.0, poll_s: float = 20.0) -> bool:
+    """Hold the repo-level TPU session flock before any device contact.
+
+    Returns True when the lock is held or not needed: a parent that
+    already holds it exports MFCD_TPU_LOCK_HELD=1 (flock is not
+    reentrant across processes), and CPU runs (the test suite's
+    subprocess smoke sets JAX_PLATFORMS=cpu) touch no tunnel.  Waits up
+    to ``max_wait_s`` for a busy lock — long enough to outlast any
+    single bounded backlog step — then gives up so the driver still
+    gets its one JSON line.
+    """
+    global _tpu_lock_fd
+    import fcntl
+    import os
+
+    if os.environ.get("MFCD_TPU_LOCK_HELD") == "1":
+        return True
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return True
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        TPU_LOCK_PATH)
+    _tpu_lock_fd = open(path, "a")
+    deadline = time.time() + max_wait_s
+    warned = False
+    while True:
+        try:
+            fcntl.flock(_tpu_lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return True
+        except OSError:
+            if time.time() >= deadline:
+                return False
+            if not warned:
+                log(f"TPU session lock busy (recovery backlog active?); "
+                    f"waiting up to {max_wait_s:.0f}s")
+                warned = True
+            time.sleep(poll_s)
+
 
 def _git_head() -> str:
     import subprocess
@@ -254,6 +302,16 @@ def main():
         metric = "quick_smoke_runs_per_hour_per_chip_100x100"
     else:
         metric = "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2"
+    if not _acquire_tpu_lock():
+        # Another TPU session (the recovery backlog) is mid-flight and
+        # outlasted our wait; probing the tunnel under it risks wedging
+        # both.  Degrade — the backlog's own bench step persists a fresh
+        # last-good record this payload cites.
+        payload = _degraded_payload(metric)
+        payload["error"] = ("TPU session lock busy (concurrent device "
+                            "session); see stderr")
+        print(json.dumps(payload))
+        return
     if not device_reachable():
         # Degraded-but-parseable record instead of a hang: the driver
         # still gets its one JSON line, with the failure explicit and

@@ -24,7 +24,13 @@ ln -sfn /root/repo/$LOGDIR /tmp/devlog 2>/dev/null || true
 run_step() {
   local secs="$1" name="$2"; shift 2
   echo "=== $name: $(date -u +%H:%M:%S) ===" | tee -a "$LOGDIR/driver.log"
-  timeout -k 30 "$secs" "$@" > "$LOGDIR/$name.log" 2>&1
+  # Each step holds the repo-level TPU session flock so a concurrently
+  # launched graded bench (driver round-end) serializes against us
+  # instead of wedging the tunnel; MFCD_TPU_LOCK_HELD tells our own
+  # bench.py child not to re-acquire (flock is not reentrant).
+  timeout -k 30 "$secs" \
+    flock /root/repo/.tpu_session.lock \
+    env MFCD_TPU_LOCK_HELD=1 "$@" > "$LOGDIR/$name.log" 2>&1
   local rc=$?
   echo "=== $name done rc=$rc $(date -u +%H:%M:%S) ===" | tee -a "$LOGDIR/driver.log"
   return $rc

@@ -112,6 +112,54 @@ def test_cpu_measurements_are_not_persisted(tmp_path, monkeypatch):
     assert not (tmp_path / "BENCH_LAST_GOOD.json").exists()
 
 
+def test_tpu_lock_serializes_sessions(tmp_path, monkeypatch):
+    """Two concurrent TPU touchers is the documented tunnel-wedge mode:
+    bench must wait on the repo flock and degrade (not probe) if a
+    device session outlasts the wait."""
+    import fcntl
+
+    bench = _import_bench()
+    lock_path = tmp_path / "tpu.lock"
+    monkeypatch.setattr(bench, "TPU_LOCK_PATH", str(lock_path))
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("MFCD_TPU_LOCK_HELD", raising=False)
+    # Simulate an active backlog step holding the lock.
+    holder = open(lock_path, "a")
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    assert bench._acquire_tpu_lock(max_wait_s=0.3, poll_s=0.05) is False
+    fcntl.flock(holder, fcntl.LOCK_UN)
+    holder.close()
+    assert bench._acquire_tpu_lock(max_wait_s=0.3, poll_s=0.05) is True
+    fcntl.flock(bench._tpu_lock_fd, fcntl.LOCK_UN)
+    bench._tpu_lock_fd.close()
+    bench._tpu_lock_fd = None
+
+
+def test_tpu_lock_bypasses(tmp_path, monkeypatch):
+    """A child of the backlog (MFCD_TPU_LOCK_HELD=1) and CPU runs (the
+    test suite's subprocess smoke) must not re-acquire or block."""
+    bench = _import_bench()
+    monkeypatch.setattr(bench, "TPU_LOCK_PATH", str(tmp_path / "t.lock"))
+    monkeypatch.setenv("MFCD_TPU_LOCK_HELD", "1")
+    assert bench._acquire_tpu_lock(max_wait_s=0.1) is True
+    monkeypatch.delenv("MFCD_TPU_LOCK_HELD")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._acquire_tpu_lock(max_wait_s=0.1) is True
+    assert not (tmp_path / "t.lock").exists()  # bypasses touch nothing
+
+
+def test_lock_busy_main_emits_degraded(monkeypatch):
+    bench = _import_bench()
+    emitted = []
+    monkeypatch.setattr(bench, "_acquire_tpu_lock", lambda: False)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--sweep"])
+    monkeypatch.setattr("builtins.print", lambda s: emitted.append(s))
+    bench.main()
+    rec = json.loads(emitted[-1])
+    assert rec["metric"] == "sweep_runs_per_hour_per_chip_1000x1000_sxwd"
+    assert rec["value"] == 0.0 and "lock busy" in rec["error"]
+
+
 def test_probe_schedule_spans_multiple_windows():
     bench = _import_bench()
     assert len(bench.PROBE_SCHEDULE) >= 3
