@@ -289,6 +289,20 @@ def _degraded_payload(metric: str) -> dict:
     record = _load_last_good().get(metric)
     if record is not None:
         payload["last_good"] = record
+    # Tunnel-independent evidence: the same-single-CPU-core comparison
+    # against the torch reference survives any outage
+    # (scripts/bench_cpu_vs_reference.py).
+    import os
+
+    cmp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "CPU_VS_REFERENCE.json")
+    try:
+        with open(cmp_path) as f:
+            cmp_rec = json.load(f)
+        payload["cpu_same_core_speedup_vs_reference"] = cmp_rec[
+            "speedup_steady_state"]
+    except (OSError, ValueError, KeyError):
+        pass
     return payload
 
 

@@ -30,6 +30,8 @@ POINTS = {
                num_epochs=15, K=1),
     "P2": dict(n=50, m=50, d=2, p=0.6, s=3.0, lr=1e-2, weight_decay=1e-5,
                num_epochs=12, K=5, soft_label=True),
+    "P3": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="proximity"),
     "P4": dict(n=50, m=50, d=2, p=0.3, s=5.0, lr=1e-2, weight_decay=1e-5,
                num_epochs=12, K=10),
 }

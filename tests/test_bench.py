@@ -112,6 +112,15 @@ def test_cpu_measurements_are_not_persisted(tmp_path, monkeypatch):
     assert not (tmp_path / "BENCH_LAST_GOOD.json").exists()
 
 
+def test_degraded_payload_cites_cpu_reference_comparison():
+    """A tunnel-down run still carries the same-core speedup vs the
+    torch reference (docs/CPU_VS_REFERENCE.json) — evidence that
+    survives any outage."""
+    bench = _import_bench()
+    payload = bench._degraded_payload("anything")
+    assert payload["cpu_same_core_speedup_vs_reference"] > 1.0
+
+
 def test_tpu_lock_serializes_sessions(tmp_path, monkeypatch):
     """Two concurrent TPU touchers is the documented tunnel-wedge mode:
     bench must wait on the repo flock and degrade (not probe) if a
