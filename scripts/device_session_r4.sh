@@ -45,4 +45,22 @@ run_step 5400 pipeline_ab python scripts/profile_pipeline_ab.py
 run_step 2700 fuse_ab python scripts/profile_fuse_ab.py
 run_step 3600 bench_sweep python bench.py --sweep
 run_step 5400 bench_final python bench.py
+
+# One judge-readable summary even if no builder session is active at
+# recovery: the graded JSON lines plus each decision script's verdict
+# tail.  The driver commits docs/device_r4/ at round end.
+{
+  echo "# Device session r4 — measurement summary ($(date -u +%FT%TZ))"
+  echo
+  for f in bench bench_sweep bench_final; do
+    echo "## $f (JSON line)"
+    [ -f "$LOGDIR/$f.log" ] && tail -n 1 "$LOGDIR/$f.log" || echo "(missing)"
+    echo
+  done
+  for f in canary smoke sample_prof validate pipeline_ab fuse_ab; do
+    echo "## $f (tail)"
+    [ -f "$LOGDIR/$f.log" ] && tail -n 12 "$LOGDIR/$f.log" || echo "(missing)"
+    echo
+  done
+} > "$LOGDIR/SUMMARY.md"
 echo "ALL DONE $(date -u +%H:%M:%S)" | tee -a "$LOGDIR/driver.log"
