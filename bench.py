@@ -291,11 +291,14 @@ def _degraded_payload(metric: str) -> dict:
         payload["last_good"] = record
     # Tunnel-independent evidence: the same-single-CPU-core comparison
     # against the torch reference survives any outage
-    # (scripts/bench_cpu_vs_reference.py).
+    # (scripts/bench_cpu_vs_reference.py); the K=10 benchmark cites the
+    # matching vote-expansion regime.
     import os
 
+    cmp_name = ("CPU_VS_REFERENCE_K10.json" if metric.startswith("k10")
+                else "CPU_VS_REFERENCE.json")
     cmp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs", "CPU_VS_REFERENCE.json")
+                            "docs", cmp_name)
     try:
         with open(cmp_path) as f:
             cmp_rec = json.load(f)

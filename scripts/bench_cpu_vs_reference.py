@@ -48,6 +48,17 @@ REPS = 2
 S_VALUES = [5.0, 6.0]
 WD = 5e-6
 LR = 1e-3
+K = 1
+
+# --k10: the heavy vote-expansion regime (reference cell 5's K=10 —
+# each triplet contributes 10 vote rows, ~1M train rows/run;
+# ``structure.py:845-852`` at its most demanding shape).  The reference
+# expands votes into its Python-side dataset and DataLoader; the
+# framework expands on device.  One config keeps the reference side
+# bounded (~305 s/run on this core).
+if "--k10" in sys.argv:
+    K = 10
+    S_VALUES = [5.0]
 
 
 def log(*a):
@@ -63,7 +74,7 @@ def time_reference() -> dict:
     t0 = time.time()
     for s in S_VALUES:
         structure.run_experiment(
-            n=N, m=M, d=D, p=P, s=s, lr=LR, weight_decay=WD,
+            n=N, m=M, d=D, p=P, s=s, lr=LR, weight_decay=WD, K=K,
             num_epochs=EPOCHS, reps=REPS, device="cpu")
     dt = time.time() - t0
     runs = len(S_VALUES) * REPS
@@ -78,7 +89,7 @@ def time_framework() -> dict:
     from mfcd_tpu.sweep.batched import run_bucket
 
     cfg = RunConfig(n=N, m=M, d=D, p=P, s=S_VALUES[0], lr=LR,
-                    weight_decay=WD, num_epochs=EPOCHS, reps=REPS)
+                    weight_decay=WD, num_epochs=EPOCHS, reps=REPS, K=K)
     rows = [{"s": s, "lr": LR, "weight_decay": WD} for s in S_VALUES]
     idx = list(range(len(S_VALUES)))
     runs = len(S_VALUES) * REPS
@@ -107,7 +118,7 @@ def main():
     result = {
         "config": {"n": N, "m": M, "d": D, "p": P, "num_epochs": EPOCHS,
                    "reps": REPS, "s": S_VALUES, "weight_decay": WD,
-                   "lr": LR},
+                   "lr": LR, "K": K},
         "hardware": "1 CPU core (same for both sides)",
         "reference_torch_cpu": ref,
         "mfcd_tpu_cpu": ours,
@@ -117,7 +128,8 @@ def main():
             ref["seconds_total"] / ours["cold_seconds_incl_compile"], 2),
         "measured_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    path = os.path.join(HERE, "docs", "CPU_VS_REFERENCE.json")
+    name = "CPU_VS_REFERENCE_K10.json" if K == 10 else "CPU_VS_REFERENCE.json"
+    path = os.path.join(HERE, "docs", name)
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
