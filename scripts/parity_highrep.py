@@ -34,6 +34,10 @@ POINTS = {
                num_epochs=12, K=1, strategy="proximity"),
     "P4": dict(n=50, m=50, d=2, p=0.3, s=5.0, lr=1e-2, weight_decay=1e-5,
                num_epochs=12, K=10),
+    "P5": dict(n=60, m=60, d=3, p=0.5, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, generation="structured"),
+    "P6": dict(n=60, m=80, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="margin"),
 }
 KEYS = ("gt_accuracy", "accuracy", "reconstruction_error_scaled",
         "pearson_corr", "spearman_corr", "alpha")
