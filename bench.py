@@ -161,20 +161,27 @@ TPU_LOCK_PATH = ".tpu_session.lock"
 _tpu_lock_fd = None  # held for process lifetime once acquired
 
 
-def _acquire_tpu_lock(max_wait_s: float = 3600.0, poll_s: float = 20.0) -> bool:
+def _acquire_tpu_lock(max_wait_s: float = 5700.0) -> bool:
     """Hold the repo-level TPU session flock before any device contact.
 
     Returns True when the lock is held or not needed: a parent that
     already holds it exports MFCD_TPU_LOCK_HELD=1 (flock is not
     reentrant across processes), and CPU runs (the test suite's
-    subprocess smoke sets JAX_PLATFORMS=cpu) touch no tunnel.  Waits up
-    to ``max_wait_s`` for a busy lock — long enough to outlast any
-    single bounded backlog step — then gives up so the driver still
-    gets its one JSON line.
+    subprocess smoke sets JAX_PLATFORMS=cpu) touch no tunnel.
+
+    The wait is a BLOCKING flock bounded by a SIGALRM timer, not a
+    non-blocking poll: the recovery backlog re-grabs the lock
+    milliseconds after releasing it between steps, so a poller would
+    essentially never win the handoff — a blocked waiter acquires the
+    instant the current holder releases.  ``max_wait_s`` outlasts the
+    largest single backlog step bound (5400 s + 30 s kill grace in
+    scripts/device_session_r4.sh); on timeout the caller still gets its
+    one degraded JSON line.
     """
     global _tpu_lock_fd
     import fcntl
     import os
+    import signal
 
     if os.environ.get("MFCD_TPU_LOCK_HELD") == "1":
         return True
@@ -183,20 +190,26 @@ def _acquire_tpu_lock(max_wait_s: float = 3600.0, poll_s: float = 20.0) -> bool:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         TPU_LOCK_PATH)
     _tpu_lock_fd = open(path, "a")
-    deadline = time.time() + max_wait_s
-    warned = False
-    while True:
-        try:
-            fcntl.flock(_tpu_lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            return True
-        except OSError:
-            if time.time() >= deadline:
-                return False
-            if not warned:
-                log(f"TPU session lock busy (recovery backlog active?); "
-                    f"waiting up to {max_wait_s:.0f}s")
-                warned = True
-            time.sleep(poll_s)
+    try:
+        fcntl.flock(_tpu_lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return True
+    except OSError:
+        log(f"TPU session lock busy (recovery backlog active?); "
+            f"blocking up to {max_wait_s:.0f}s for the handoff")
+
+    def _timeout(signum, frame):
+        raise TimeoutError("TPU session lock wait expired")
+
+    old_handler = signal.signal(signal.SIGALRM, _timeout)
+    signal.setitimer(signal.ITIMER_REAL, max_wait_s)
+    try:
+        fcntl.flock(_tpu_lock_fd, fcntl.LOCK_EX)
+        return True
+    except (TimeoutError, InterruptedError, OSError):
+        return False
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, old_handler)
 
 
 def _git_head() -> str:

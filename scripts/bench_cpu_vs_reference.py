@@ -35,10 +35,38 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-assign, not setdefault: the axon sitecustomize force-sets
+# JAX_PLATFORMS=axon at interpreter start, so a default would silently
+# run the framework side on the TPU (mislabeling the artifact as
+# same-core AND touching the tunnel without the session lock).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
+
+
+def _reexec_cpu_sanitized():
+    """Re-exec with the axon sitecustomize stripped from PYTHONPATH.
+
+    Same rationale as scripts/parity_highrep.py: the sitecustomize
+    registers the axon PJRT plugin in every interpreter, so a later
+    ``import jax`` contacts the TPU tunnel even with JAX_PLATFORMS=cpu
+    set in-process — hanging during outages and bypassing the TPU
+    session lock.  A fresh interpreter without that path imports jax
+    on cpu cleanly; the repo root replaces it so ``mfcd_tpu`` stays
+    importable.
+    """
+    pp = os.environ.get("PYTHONPATH", "")
+    if ".axon_site" not in pp:
+        return
+    parts = [p for p in pp.split(os.pathsep) if p and ".axon_site" not in p]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([HERE] + parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_reexec_cpu_sanitized()
 
 N = M = 1000
 D = 2
@@ -111,8 +139,6 @@ def time_framework() -> dict:
 
 
 def main():
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        log("forcing JAX_PLATFORMS=cpu for an apples-to-apples CPU bench")
     ref = time_reference()
     ours = time_framework()
     result = {

@@ -1,14 +1,18 @@
-"""High-repetition statistical parity on protocol point P1 (VERDICT r3 item 5).
+"""High-repetition statistical parity on one protocol point (VERDICT r3 item 5).
 
 The r=10 suite bounds detectable bias at ~0.04-0.08 per metric (PARITY.md);
-this script runs r~100 per side on P1 (base/random/K=1 — reference
-``structure.py:306-450``) to shrink the Welch bound ~3x, giving the judge a
-~0.01-scale end-to-end statistical parity certificate.
+this script runs r~100 per side on a chosen protocol point (see POINTS;
+reference ``structure.py:306-450``) to shrink the Welch bound ~3x, giving
+the judge a ~0.01-scale end-to-end statistical parity certificate per
+regime type.
 
 CPU-only (torch reference needs CPU anyway); never touches the TPU.
 
 Usage:
-    python scripts/parity_highrep.py [--reps 100] [--out /tmp/parity_highrep.json]
+    python scripts/parity_highrep.py --point P2 --reps 100 \
+        --out docs/parity_highrep_P2_r100.json
+    (pass a distinct --out per point — the default path is overwritten
+    on every run)
 """
 
 from __future__ import annotations
@@ -20,6 +24,32 @@ import sys
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _reexec_cpu_sanitized():
+    """Re-exec with the axon sitecustomize stripped from PYTHONPATH.
+
+    The sitecustomize registers the axon PJRT plugin in EVERY
+    interpreter, and a later ``import jax`` then contacts the TPU
+    tunnel even with JAX_PLATFORMS=cpu set in-process — which hangs
+    indefinitely during a tunnel outage (and would make this CPU-only
+    script an unserialized tunnel toucher).  A fresh interpreter
+    without that path imports jax on cpu cleanly; the repo root
+    replaces it so ``mfcd_tpu`` stays importable.
+    """
+    pp = os.environ.get("PYTHONPATH", "")
+    if ".axon_site" not in pp:
+        return
+    parts = [p for p in pp.split(os.pathsep) if p and ".axon_site" not in p]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join([_REPO] + parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+_reexec_cpu_sanitized()
 
 REF = "/root/reference"
 #: Protocol points (mirroring tests/test_reference_parity.py) that make
@@ -49,7 +79,7 @@ def main(argv=None):
     ap.add_argument("--point", default="P1", choices=sorted(POINTS))
     ap.add_argument("--out", default="/tmp/parity_highrep.json")
     args = ap.parse_args(argv)
-    P1 = POINTS[args.point]
+    point = POINTS[args.point]
 
     import numpy as np
 
@@ -57,14 +87,14 @@ def main(argv=None):
     import structure as reference  # torch reference implementation
 
     t0 = time.time()
-    ref_out = reference.run_experiment(device="cpu", reps=args.reps, **P1)
+    ref_out = reference.run_experiment(device="cpu", reps=args.reps, **point)
     t_ref = time.time() - t0
     print(f"reference: {args.reps} reps in {t_ref:.0f}s", flush=True)
 
     import mfcd_tpu
 
     t0 = time.time()
-    our_out = mfcd_tpu.run_experiment(reps=args.reps, **P1)
+    our_out = mfcd_tpu.run_experiment(reps=args.reps, **point)
     t_ours = time.time() - t0
     print(f"framework: {args.reps} reps in {t_ours:.0f}s", flush=True)
 
@@ -96,7 +126,7 @@ def main(argv=None):
 
     result = {
         "protocol_point": args.point,
-        "config": P1,
+        "config": point,
         "reps_per_side": args.reps,
         "metrics": rows,
         "worst_welch_z": round(worst, 2),
