@@ -186,6 +186,14 @@ def _acquire_tpu_lock(max_wait_s: float = 5700.0) -> bool:
     if os.environ.get("MFCD_TPU_LOCK_HELD") == "1":
         return True
     if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # The env var alone does not guarantee a cpu backend under the
+        # naked environment: the axon PJRT plugin overrides the
+        # jax_platforms CONFIG during `import jax`.  Pin the config so
+        # the lock bypass is honest — a cpu-declared run must actually
+        # be incapable of dialing the tunnel.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         return True
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         TPU_LOCK_PATH)
@@ -332,6 +340,9 @@ def main():
         metric = "quick_smoke_runs_per_hour_per_chip_100x100"
     else:
         metric = "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2"
+    import os
+
+    on_cpu = os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
     if not _acquire_tpu_lock():
         # Another TPU session (the recovery backlog) is mid-flight and
         # outlasted our wait; probing the tunnel under it risks wedging
@@ -342,10 +353,13 @@ def main():
                             "session); see stderr")
         print(json.dumps(payload))
         return
-    if not device_reachable():
+    if not on_cpu and not device_reachable():
         # Degraded-but-parseable record instead of a hang: the driver
         # still gets its one JSON line, with the failure explicit and
-        # the metric name matching the requested mode.
+        # the metric name matching the requested mode.  A cpu-declared
+        # run skips the probe entirely: its backend is pinned to cpu by
+        # the lock bypass above, and the probe subprocess would dial
+        # the tunnel the run is explicitly avoiding.
         print(json.dumps(_degraded_payload(metric)))
         return
     if "--sweep" in sys.argv:

@@ -34,6 +34,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Naked invocations (`python scripts/validate_sharded_cell.py`) put
+# scripts/ on sys.path, not the repo root — make mfcd_tpu/experiments
+# importable regardless of PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The axon PJRT plugin overrides the jax_platforms CONFIG during
+# `import jax`, so the env assignment above is not enough under the
+# naked environment — pin the config too (as tests/conftest.py does).
+jax.config.update("jax_platforms", "cpu")
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()

@@ -45,6 +45,10 @@ def test_degraded_metric_name_matches_requested_mode(monkeypatch):
     bench = _import_bench()
     emitted = []
     monkeypatch.setattr(bench, "device_reachable", lambda: False)
+    # Simulate a TPU-declared run: cpu-declared runs skip the probe (and
+    # the degraded path) entirely, and the lock must not really be taken.
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setattr(bench, "_acquire_tpu_lock", lambda: True)
     for argv, expect in [
         (["bench.py", "--sweep"], "sweep_runs_per_hour_per_chip_1000x1000_sxwd"),
         (["bench.py", "--k10"], "k10_full_training_runs_per_hour_per_chip_pallas"),
