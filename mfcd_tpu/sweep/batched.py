@@ -464,7 +464,9 @@ def parameter_scan_fast(
         # otherwise keep OOMing down to singletons); k's halves and then
         # k+1's results persist in chunk order.  Default off until
         # device-measured.
-        pipeline = os.environ.get("MFCD_PIPELINE", "0") == "1"
+        from mfcd_tpu.core.decisions import flag_enabled
+
+        pipeline = flag_enabled("MFCD_PIPELINE", "pipeline", default=False)
         pending = None
         for lo in range(0, len(indices), bucket_cap):
             chunk = indices[lo:lo + bucket_cap]

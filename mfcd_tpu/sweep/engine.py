@@ -341,7 +341,9 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     from mfcd_tpu.ops.shuffle import default_reshuffle_period
 
     period = default_reshuffle_period()
-    if os.environ.get("MFCD_FUSE_LABEL", "0") == "1":
+    from mfcd_tpu.core.decisions import flag_enabled
+
+    if flag_enabled("MFCD_FUSE_LABEL", "fuse_label", default=False):
         params, tl, vl, test = _label_train_bucket(
             x, splits, streams, s, params, lr, weight_decay,
             K=cfg.K, soft_label=cfg.soft_label,

@@ -43,14 +43,18 @@ from mfcd_tpu.train.trainer import batch_losses
 
 def multiepoch_enabled() -> bool:
     """Whether the multi-epoch window kernel may be used
-    (``MFCD_MULTIEPOCH``, default off until validated on-device).
+    (``MFCD_MULTIEPOCH``; default resolves through the committed
+    device-measurement decision artifact — see
+    ``core/decisions.py`` and ``scripts/validate_multiepoch.py``).
 
     Resolved at call time OUTSIDE the jit (it selects a different static
     program).  The windowed path additionally requires pack mode "full",
     a reshuffle period > 1, and the streams to fit VMEM
     (``pallas_window_supported``).
     """
-    return os.environ.get("MFCD_MULTIEPOCH", "0") != "0"
+    from mfcd_tpu.core.decisions import flag_enabled
+
+    return flag_enabled("MFCD_MULTIEPOCH", "multiepoch", default=False)
 
 
 def _pack_spec(n: int, m: int, label_denom: int):

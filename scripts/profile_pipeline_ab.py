@@ -60,10 +60,25 @@ def main():
                 f"({dt / total_runs * 1000:.1f} ms/run)")
     off = min(times[False])
     on = min(times[True])
+    speedup = off / on
     log(f"best: off {off:.2f}s, on {on:.2f}s "
-        f"-> speedup {off / on:.3f}x "
+        f"-> speedup {speedup:.3f}x "
         f"({(off - on) / total_runs * 1000:.2f} ms/run hidden)")
-    print(f"PIPELINE_AB off={off:.3f} on={on:.3f} speedup={off / on:.4f}")
+    print(f"PIPELINE_AB off={off:.3f} on={on:.3f} speedup={speedup:.4f}")
+
+    # Acceptance: a clear measured win (>= 2%) flips the committed
+    # default via the decision artifact (core/decisions.py); anything
+    # less keeps the conservative off default.  Recorded only when the
+    # measurement ran on the real chip.
+    from mfcd_tpu.core.decisions import record_decision
+
+    path = record_decision(
+        "pipeline", speedup >= 1.02,
+        {"off_s": round(off, 3), "on_s": round(on, 3),
+         "speedup": round(speedup, 4), "rule": "enable iff speedup>=1.02",
+         "grid": "bench --sweep (20 s x 2 wd x 3 reps, n=m=1000)"})
+    log(f"decision recorded: {path}" if path
+        else "decision NOT recorded (cpu backend)")
     return 0
 
 

@@ -91,8 +91,22 @@ def main():
             log(f"MISMATCH {key}: |{sa['mean']}-{sb['mean']}|"
                 f"={gap:.4f} > {bound:.4f}")
 
-    print(json.dumps({"ok": ok, "summary": {str(k): v
-                                            for k, v in summary.items()}}))
+    # Acceptance (VERDICT r3 item 2): the window kernel's committed
+    # default flips on only if the CI-overlap bar passes AND it measures
+    # faster than the per-epoch kernel at the canonical config.
+    # Recorded only when the measurement ran on the real chip.
+    enable = ok and summary[1]["s_per_run"] < summary[0]["s_per_run"]
+    from mfcd_tpu.core.decisions import record_decision
+
+    path = record_decision(
+        "multiepoch", enable,
+        {"summary": {str(k): v for k, v in summary.items()},
+         "rule": "enable iff CI-overlap ok and on-path s/run < off-path"})
+    log(f"decision recorded: {path}" if path
+        else "decision NOT recorded (cpu backend)")
+
+    print(json.dumps({"ok": ok, "enable": enable,
+                      "summary": {str(k): v for k, v in summary.items()}}))
 
 
 if __name__ == "__main__":
