@@ -68,6 +68,9 @@ POINTS = {
                num_epochs=12, K=1, generation="structured"),
     "P6": dict(n=60, m=80, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
                num_epochs=12, K=1, strategy="margin"),
+    "P7": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="popularity",
+               popularity_method="zipf", alpha=1.5),
 }
 KEYS = ("gt_accuracy", "accuracy", "reconstruction_error_scaled",
         "pearson_corr", "spearman_corr", "alpha")
