@@ -71,6 +71,16 @@ POINTS = {
     "P7": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
                num_epochs=12, K=1, strategy="popularity",
                popularity_method="zipf", alpha=1.5),
+    "P8": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="svd"),
+    "P9": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+               num_epochs=12, K=1, strategy="top_k"),
+    "P10": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+                num_epochs=12, K=1, strategy="variance"),
+    "P11": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+                num_epochs=12, K=1, strategy="cluster"),
+    "P12": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+                num_epochs=12, K=1, strategy="user_similarity"),
 }
 KEYS = ("gt_accuracy", "accuracy", "reconstruction_error_scaled",
         "pearson_corr", "spearman_corr", "alpha")

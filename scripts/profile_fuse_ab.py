@@ -26,6 +26,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import mfcd_tpu  # noqa: F401 — enables the persistent compile cache
 
 

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 import mfcd_tpu  # noqa: F401 — enables the persistent compile cache
