@@ -1,8 +1,10 @@
 """Measurement-driven feature decisions (committed autotuning records).
 
 Each gated optimization in this framework ships with a device
-validation / A/B script (``scripts/validate_multiepoch.py``,
-``scripts/profile_pipeline_ab.py``, ``scripts/profile_fuse_ab.py``).
+validation / A/B script (currently ``scripts/profile_pipeline_ab.py``;
+the multiepoch and fuse_label scripts were removed with their code
+paths after their round-4 on-device measurements rejected them — the
+artifacts under ``docs/decisions/`` remain as the recorded evidence).
 Historically those scripts only *printed* their verdicts, leaving the
 runtime defaults frozen at "off" until a human read the logs and edited
 code — which stalls whenever measurements land while no builder session

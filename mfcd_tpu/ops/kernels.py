@@ -323,318 +323,3 @@ def pallas_epoch_supported(n: int, m: int, d: int, num_batches: int,
     return total < 12 * 1024 * 1024  # leave headroom in ~16MB VMEM
 
 
-# ---------------------------------------------------------------------------
-# Multi-epoch window kernel — a whole reshuffle window per launch
-# ---------------------------------------------------------------------------
-
-
-def _unpack_row(y, bits_n, bits_m, bits_z, denom):
-    """In-register unpack of a packed int32 row vector ("full" mode)."""
-    idx_u = y & ((1 << bits_n) - 1)
-    idx_i = (y >> bits_n) & ((1 << bits_m) - 1)
-    idx_j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
-    k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
-    z = k.astype(_F32) / jnp.float32(denom)
-    return idx_u, idx_i, idx_j, z
-
-
-def _unpack_uij(y, bits_n, bits_m):
-    """In-register unpack of a packed (u, i, j) int32 row vector."""
-    idx_u = y & ((1 << bits_n) - 1)
-    idx_i = (y >> bits_n) & ((1 << bits_m) - 1)
-    idx_j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
-    return idx_u, idx_i, idx_j
-
-
-def _window_kernel(
-    # SMEM scalar operands ([R, ...] blocks indexed by program_id)
-    lr_ref, wd_ref, step0_ref, count_ref, vcount_ref, active_ref, shear_ref,
-    # VMEM streams + aliased state inputs, then outputs
-    *refs, b1: float, b2: float, eps: float, pack: tuple, window: int,
-):
-    mode, bits_n, bits_m, bits_z, denom = pack
-    n_train = {"full": 1, "uij": 2}[mode]
-    train_refs = refs[:n_train]
-    vstream_ref = refs[n_train]
-    # state inputs refs[n_train+1 : n_train+7] are aliased to the outputs
-    (u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out,
-     tl_out, vl_out) = refs[n_train + 7:]
-    d, n = u_out.shape[1], u_out.shape[2]
-    m = v_out.shape[2]
-    bs = train_refs[0].shape[2]
-    run = pl.program_id(0)
-    lr = lr_ref[run, 0]
-    wd = wd_ref[run, 0]
-    step0 = step0_ref[run, 0]
-    count = count_ref[run, 0]
-    vcount = vcount_ref[run, 0]
-    active = active_ref[run, 0]
-    num_exec = (count + bs - 1) // bs
-    full = count // bs
-    v_exec = (vcount + bs - 1) // bs
-    log_b1 = jnp.log(jnp.float32(b1))
-    log_b2 = jnp.log(jnp.float32(b2))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bs,), 0)
-
-    def contract(table_t, oh):
-        return jax.lax.dot_general(
-            table_t, oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=_F32)
-
-    def scatter(grad_rows, oh):
-        return jax.lax.dot_general(
-            grad_rows, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32)
-
-    def forward(idx_u, idx_i, idx_j):
-        oh_u = (jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1)
-                == idx_u[:, None]).astype(_F32)
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
-        oh_d = ((iota_m == idx_i[:, None]).astype(_F32)
-                - (iota_m == idx_j[:, None]).astype(_F32))
-        eu = contract(u_out[0], oh_u)                    # [d, bs]
-        dv = contract(v_out[0], oh_d)                    # [d, bs]
-        logits = jnp.sum(eu * dv, axis=0, keepdims=True)  # [1, bs]
-        return oh_u, oh_d, eu, dv, logits
-
-    def bce(logits, z):
-        return (jnp.maximum(logits, 0.0) - logits * z
-                + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-
-    for e in range(window):
-        # The epoch loop is unrolled (window is small and static) so the
-        # shear depth per epoch is compile-time: epoch e merges at most
-        # e + 1 source tiles.  The dynamic epoch tail (last window of a
-        # non-multiple epoch count) is gated by ``active``.
-        @pl.when(e < active)
-        def _train_epoch(e=e):
-            if e > 0:
-                cumb = shear_ref[run, e]
-                delta = jnp.zeros((bs,), jnp.int32)
-                for ee in range(1, e + 1):
-                    delta = delta + (
-                        lane < shear_ref[run, window + ee]).astype(jnp.int32)
-
-            def wrap(x):
-                # x mod full via cycle subtraction (x < 2*full + window, so
-                # a couple of iterations).  A scalar while_loop is the
-                # probe-validated primitive; lax.rem with a *traced*
-                # modulus is not, and subtract-twice breaks at full == 1.
-                fullc = jnp.maximum(full, 1)
-                return jax.lax.while_loop(
-                    lambda v: v >= fullc, lambda v: v - fullc, x)
-
-            def read_row(ref, t):
-                """Sheared batch read — epoch e's batch t from ``ref``.
-
-                Reads the <= e+1 source tiles of the sheared batch and
-                merges them by lane mask (ops.shuffle.apply_window_shear
-                is the jnp oracle of this exact pattern).  Every train
-                stream is read at the SAME positions so multi-array pack
-                modes stay row-aligned.
-                """
-                if e == 0:
-                    return ref[0, t, :]
-                base = t + cumb
-                row = ref[0, wrap(base), :]
-                for k in range(1, e + 1):
-                    rk = ref[0, wrap(base + k), :]
-                    row = jnp.where(delta == k, rk, row)
-                return jnp.where(t < full, row, ref[0, t, :])
-
-            def body(t, loss_sum):
-                if mode == "full":
-                    idx_u, idx_i, idx_j, z = _unpack_row(
-                        read_row(train_refs[0], t),
-                        bits_n, bits_m, bits_z, denom)
-                else:
-                    idx_u, idx_i, idx_j = _unpack_uij(
-                        read_row(train_refs[0], t), bits_n, bits_m)
-                    z = read_row(train_refs[1], t)
-                z = z.reshape(1, bs)
-                slots = t * bs + lane.reshape(1, bs)
-                mask = (slots < count).astype(_F32)
-
-                oh_u, oh_d, eu, dv, logits = forward(idx_u, idx_i, idx_j)
-                cnt = jnp.sum(mask)
-                inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
-                loss = jnp.sum(bce(logits, z) * mask) * inv_cnt
-                g = (jax.nn.sigmoid(logits) - z) * mask * inv_cnt
-                grad_u = scatter(g * dv, oh_u)
-                grad_v = scatter(g * eu, oh_d)
-
-                t_step = step0 + e * num_exec.astype(_F32) + (t + 1).astype(
-                    _F32)
-                bc1 = 1.0 - jnp.exp(t_step * log_b1)
-                bc2 = 1.0 - jnp.exp(t_step * log_b2)
-
-                def update(p_ref, mu_ref, nu_ref, grad):
-                    p = p_ref[0]
-                    grad = grad + wd * p
-                    mu = b1 * mu_ref[0] + (1.0 - b1) * grad
-                    nu = b2 * nu_ref[0] + (1.0 - b2) * grad * grad
-                    p_ref[0] = p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2)
-                                                      + eps)
-                    mu_ref[0] = mu
-                    nu_ref[0] = nu
-
-                update(u_out, mu_u_out, nu_u_out, grad_u)
-                update(v_out, mu_v_out, nu_v_out, grad_v)
-                return loss_sum + loss
-
-            loss_sum = jax.lax.fori_loop(0, num_exec, body, jnp.float32(0.0))
-            tl_out[run, e] = loss_sum / jnp.maximum(
-                num_exec.astype(_F32), 1.0)
-
-            # Per-epoch validation pass, fused in-kernel: the intermediate
-            # epoch params never leave VMEM.  Val labels are always hard
-            # (reference structure.py:733-735), so the packed numerator is
-            # the 1-bit label itself (denom 1) in every pack mode.
-            def vbody(t, vsum):
-                row = vstream_ref[0, t, :]
-                idx_u, idx_i, idx_j, z = _unpack_row(
-                    row, bits_n, bits_m, 1, 1)
-                z = z.reshape(1, bs)
-                slots = t * bs + lane.reshape(1, bs)
-                mask = (slots < vcount).astype(_F32)
-                _, _, _, _, logits = forward(idx_u, idx_i, idx_j)
-                cnt = jnp.sum(mask)
-                vloss = jnp.sum(bce(logits, z) * mask) / jnp.maximum(
-                    cnt, 1.0)
-                return vsum + vloss
-
-            vsum = jax.lax.fori_loop(0, v_exec, vbody, jnp.float32(0.0))
-            vl_out[run, e] = vsum / jnp.maximum(v_exec.astype(_F32), 1.0)
-
-        @pl.when(e >= active)
-        def _inactive(e=e):
-            tl_out[run, e] = 0.0
-            vl_out[run, e] = 0.0
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("pack", "window", "b1", "b2", "eps", "interpret"),
-)
-def pallas_train_window(
-    state: EpochState,
-    stream,                # tuple of [R, NB, bs] arrays; layout per ``pack``
-    vstream: jax.Array,    # [R, NVB, bs] packed int32 (hard labels)
-    lr, wd, step0,         # [R] f32
-    count, vcount,         # [R] int32 valid-row counts
-    shear: jax.Array,      # [R, 2*window] int32: cumb[0:W] ++ offs[W:2W]
-    active: jax.Array,     # [R] int32 epochs to run this window (<= window)
-    pack: tuple,
-    window: int,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-8,
-    interpret: bool = False,
-):
-    """Train a whole reshuffle window (``window`` epochs) per run in ONE
-    kernel launch, with the per-epoch validation pass fused in.
-
-    The fresh-PRP shuffle of the window's first epoch happens outside (an
-    XLA gather on the carried stream); the cheap epochs in between read the
-    stream through the composable lane-shear bijection
-    (``mfcd_tpu.ops.shuffle.window_shear_params`` /
-    ``apply_window_shear``), so no per-epoch stream rewrite, no unpacked
-    batch tensors, and no intermediate params ever touch HBM.  ``stream``
-    is ``(packed,)`` in pack mode "full" or ``(packed_uij, z)`` in mode
-    "uij" (soft labels whose numerator doesn't fit the word); the whole
-    stream must be VMEM-resident (``pallas_window_supported``).
-
-    Returns ``(new_state, train_losses [R, window], val_losses
-    [R, window])`` — entries past ``active`` are zero.
-    """
-    r, d, n = state.u_t.shape
-    m = state.v_t.shape[2]
-    stream = tuple(stream)
-    nb, bs = stream[0].shape[1], stream[0].shape[2]
-    nvb = vstream.shape[1]
-
-    state_spec_n = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-    state_spec_m = pl.BlockSpec((1, d, m), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-    stream_spec = pl.BlockSpec((1, nb, bs), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
-    vstream_spec = pl.BlockSpec((1, nvb, bs), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((r, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)
-    shear_spec = pl.BlockSpec((r, 2 * window), lambda i: (0, 0),
-                              memory_space=pltpu.SMEM)
-    loss_spec = pl.BlockSpec((r, window), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
-
-    kernel = functools.partial(_window_kernel, b1=b1, b2=b2, eps=eps,
-                               pack=pack, window=window)
-    n_train = len(stream)
-    state_base = 7 + n_train + 1  # scalar blocks + shear + streams + val
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(r,),
-        in_specs=[
-            scalar_spec, scalar_spec, scalar_spec, scalar_spec,
-            scalar_spec, scalar_spec, shear_spec,
-            *([stream_spec] * n_train), vstream_spec,
-            state_spec_n, state_spec_m,
-            state_spec_n, state_spec_n, state_spec_m, state_spec_m,
-        ],
-        out_specs=[
-            state_spec_n, state_spec_m,
-            state_spec_n, state_spec_n, state_spec_m, state_spec_m,
-            loss_spec, loss_spec,
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r, d, n), _F32),
-            jax.ShapeDtypeStruct((r, d, m), _F32),
-            jax.ShapeDtypeStruct((r, d, n), _F32),
-            jax.ShapeDtypeStruct((r, d, n), _F32),
-            jax.ShapeDtypeStruct((r, d, m), _F32),
-            jax.ShapeDtypeStruct((r, d, m), _F32),
-            jax.ShapeDtypeStruct((r, window), _F32),
-            jax.ShapeDtypeStruct((r, window), _F32),
-        ],
-        input_output_aliases={state_base + k: k for k in range(6)},
-        interpret=interpret,
-    )(
-        lr.reshape(r, 1), wd.reshape(r, 1), step0.reshape(r, 1),
-        count.astype(jnp.int32).reshape(r, 1),
-        vcount.astype(jnp.int32).reshape(r, 1),
-        active.astype(jnp.int32).reshape(r, 1),
-        shear.astype(jnp.int32),
-        *stream, vstream,
-        state.u_t, state.v_t,
-        state.mu_u, state.nu_u, state.mu_v, state.nu_v,
-    )
-    new_state = EpochState(*out[:6])
-    return new_state, out[6], out[7]
-
-
-def pallas_window_supported(n: int, m: int, d: int, num_batches: int,
-                            val_batches: int, batch_size: int,
-                            n_streams: int = 1) -> bool:
-    """VMEM-fit check for the multi-epoch window kernel.
-
-    Unlike the per-epoch kernel (which streams the batch axis in chunks),
-    the window kernel needs the WHOLE packed train + val streams resident
-    alongside the state — the cheap-epoch shear reads tiles at computed
-    positions, which block-streaming can't serve.
-    """
-    import os
-
-    max_rows = int(os.environ.get("MFCD_PALLAS_MAX_ROWS", "0"))
-    if max_rows and num_batches * batch_size > max_rows:
-        return False
-
-    def padded(rows, cols):
-        return ((rows + 7) // 8 * 8) * ((cols + 127) // 128 * 128) * 4
-
-    state_bytes = 3 * (padded(d, n) + padded(d, m))
-    stream_bytes = (n_streams * num_batches + val_batches) * batch_size * 4
-    onehot_bytes = 3 * padded(batch_size, max(n, m))
-    total = state_bytes + stream_bytes + onehot_bytes
-    return total < 12 * 1024 * 1024

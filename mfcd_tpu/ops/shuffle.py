@@ -281,87 +281,6 @@ def _permute_full_tiles(x: jax.Array, key: jax.Array, count,
     return x.reshape(tiles, tile_w)[idx].reshape(x.shape)
 
 
-# ---------------------------------------------------------------------------
-# Window shear — the in-kernel cheap-epoch mixing of the multi-epoch kernel
-# ---------------------------------------------------------------------------
-#
-# The multi-epoch Pallas kernel (ops.kernels.pallas_train_window) runs a
-# whole reshuffle window (fresh-PRP epoch + the cheap epochs until the next
-# reshuffle) in ONE kernel launch, so the cheap mixing must be computable
-# *inside* the kernel from a few scalars.  ``mix_stream``'s rotation +
-# tile-PRP physically rewrites the stream each epoch; the windowed
-# equivalent is a READ-THROUGH family closed under composition:
-#
-#   per cheap epoch e:  a tile rotation by b_e full tiles plus a one-tile
-#   lane shear — lanes l < off_e read one tile further.  Composing epochs
-#   gives, per lane, a total tile offset
-#       Delta_l(e) = (sum_{e'<=e} b_e') + #{e' <= e : l < off_e'}
-#   which is a non-increasing step function of l with at most e+1 distinct
-#   values — so epoch e's batch t reads at most e+1 source tiles, merged by
-#   lane masks (cheap VPU selects; no gather, no scratch).
-#
-# Each epoch's map is a bijection on the full-tile region (every lane
-# column is rotated among the full tiles); the partial boundary tile and
-# padding stay fixed, keeping valid rows compacted for the ``slot < count``
-# masks.  Rows keep their lane position between reshuffles (lane position
-# inside a batch has no effect on the math — the batch loss is a mean over
-# lanes); batch composition still changes every epoch via the lane shear.
-# Mixing within a window is weaker than ``mix_stream``'s random tile PRP —
-# batches draw from a contiguous band of former tiles — and the reshuffle
-# cadence is identical; distribution-level equivalence is validated
-# statistically on-device (scripts/validate_multiepoch.py).
-
-def window_shear_params(key: jax.Array, start_epoch, window: int,
-                        count, batch_size: int):
-    """Per-epoch shear constants for one reshuffle window.
-
-    Returns ``(cumb [window], offs [window])`` int32: cumulative tile
-    rotation (mod the full-tile count) and lane cut for epochs
-    ``start_epoch + e``.  Entry 0 is the fresh-PRP epoch (no shear, zeros).
-    ``key`` is the run's base epochs key — epoch constants derive from
-    ``fold_in(key, start_epoch + e)`` so any window partition of the same
-    epoch range draws the same constants.
-    """
-    full = jnp.maximum(count // batch_size, 1).astype(jnp.uint32)
-    cumb = [jnp.int32(0)]
-    offs = [jnp.int32(0)]
-    running = jnp.uint32(0)
-    for e in range(1, window):
-        ke = jax.random.fold_in(key, start_epoch + e)
-        bits = jax.random.bits(ke, (2,), jnp.uint32)
-        running = (running + bits[0] % full) % full
-        cumb.append(running.astype(jnp.int32))
-        offs.append((bits[1] % jnp.uint32(batch_size)).astype(jnp.int32))
-    return jnp.stack(cumb), jnp.stack(offs)
-
-
-def apply_window_shear(array: jax.Array, cumb, offs, epoch: int,
-                       count, batch_size: int) -> jax.Array:
-    """Pure-jnp oracle of the epoch-``epoch`` shear read order.
-
-    Returns ``array`` reordered exactly as the multi-epoch kernel reads it
-    at (0-based) window epoch ``epoch``: used by the equivalence tests (and
-    usable as a host-side fallback).  ``epoch`` is static.
-    """
-    if epoch == 0:
-        return array
-    rows = array.shape[0]
-    nb = rows // batch_size
-    full = count // batch_size
-    t = jnp.arange(nb, dtype=jnp.int32)[:, None]
-    lane = jnp.arange(batch_size, dtype=jnp.int32)[None, :]
-    delta = jnp.zeros((1, batch_size), jnp.int32)
-    for e in range(1, epoch + 1):
-        delta = delta + (lane < offs[e]).astype(jnp.int32)
-    src_tile = jnp.where(
-        t < full,
-        jax.lax.rem(t + cumb[epoch] + delta, jnp.maximum(full, 1)),
-        t,
-    )
-    src = (src_tile * batch_size + lane).reshape(-1)
-    return array[src]
-
-
 def mix_stream(arrays, key: jax.Array, epoch_idx, count, k_bits: int,
                *, period: int, tile_w: int | None):
     """Advance a carried epoch stream by one epoch's bijection.

@@ -44,6 +44,16 @@ def _is_oom(msg: str) -> bool:
     return "RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
 
 
+def pipeline_enabled() -> bool:
+    """Whether the 1-deep bucket pipeline is active (``MFCD_PIPELINE``;
+    default resolves through the committed on-device decision artifact
+    ``docs/decisions/pipeline.json`` — measured 1.104x on the bench sweep
+    grid, round 4)."""
+    from mfcd_tpu.core.decisions import flag_enabled
+
+    return flag_enabled("MFCD_PIPELINE", "pipeline", default=False)
+
+
 def make_sweep_mesh(n_devices: Optional[int] = None) -> Mesh:
     """A 1-D mesh over all (or n) devices for experiment-level DP."""
     devices = jax.devices()
@@ -462,11 +472,8 @@ def parameter_scan_fast(
         # flight, k+1 is DRAINED first so the bisection of k runs with a
         # single chunk's working set (co-resident bisection halves would
         # otherwise keep OOMing down to singletons); k's halves and then
-        # k+1's results persist in chunk order.  Default off until
-        # device-measured.
-        from mfcd_tpu.core.decisions import flag_enabled
-
-        pipeline = flag_enabled("MFCD_PIPELINE", "pipeline", default=False)
+        # k+1's results persist in chunk order.
+        pipeline = pipeline_enabled()
         pending = None
         for lo in range(0, len(indices), bucket_cap):
             chunk = indices[lo:lo + bucket_cap]

@@ -227,53 +227,6 @@ def _metrics_bucket(params, x, s, test, rows_keys, sample_counts,
         params, x, s, test, rows_keys, sample_counts, tl, vl)
 
 
-@partial(jax.jit, static_argnames=(
-    "K", "soft_label", "batch_size", "num_epochs", "reshuffle_period",
-    "use_pallas"))
-def _label_train_bucket(x, splits, streams, s, params, lr, wd,
-                        K: int, soft_label: bool, batch_size: int,
-                        num_epochs: int, reshuffle_period: int,
-                        use_pallas: bool):
-    """Fused stage 1b+2 (``MFCD_FUSE_LABEL=1``): label -> pad -> train as
-    ONE program.
-
-    Saves two dispatches (label, pad) and the HBM round trip of the
-    unpadded splits between programs (NOTES_ROUND3.md candidate #2).
-    Inner jitted stages inline under this jit; the emitted op graph per
-    stage is unchanged.
-
-    Compile-cost caveat: this jit keys on the UNPADDED capacity shapes
-    (the same key set as the label stage), but each entry now embeds a
-    full trainer compile.  Separately-staged, the trainer is keyed only
-    on pow2-padded rows and is SHARED across capacity buckets that pad
-    to the same size; fused, each such bucket recompiles the trainer —
-    a label-stage entry is cheap, a trainer entry is minutes.  The A/B
-    decision (scripts/profile_fuse_ab.py) must therefore weigh the
-    steady-state ms/run saved against (trainer compile time) x (number
-    of distinct capacity buckets in the workload), not just steady
-    state.  Default off until device-measured (VERDICT r3 item 3).
-    """
-    train, val, test = _label_bucket(x, splits, streams, s,
-                                     K=K, soft_label=soft_label)
-    train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
-    val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
-    test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
-    if use_pallas:
-        params, tl, vl = _train_bucket_pallas(
-            params, train, val, streams["epochs"], lr, wd,
-            batch_size=batch_size, num_epochs=num_epochs,
-            label_denom=K if soft_label else 1,
-            reshuffle_period=reshuffle_period,
-        )
-    else:
-        params, tl, vl = _train_bucket_jnp(
-            params, train, val, streams["epochs"], lr, wd,
-            batch_size=batch_size, num_epochs=num_epochs,
-            reshuffle_period=reshuffle_period,
-        )
-    return params, tl, vl, test
-
-
 @partial(jax.jit, static_argnames=("rows",))
 def _pad_rows(split: LabeledSplit, rows: int) -> LabeledSplit:
     """Pad a split's row axis (last dim) to ``rows``; counts unchanged.
@@ -341,36 +294,32 @@ def _run_bucket_device(cfg: RunConfig, cfg_keys, s, lr, weight_decay,
     from mfcd_tpu.ops.shuffle import default_reshuffle_period
 
     period = default_reshuffle_period()
-    from mfcd_tpu.core.decisions import flag_enabled
 
-    if flag_enabled("MFCD_FUSE_LABEL", "fuse_label", default=False):
-        params, tl, vl, test = _label_train_bucket(
-            x, splits, streams, s, params, lr, weight_decay,
-            K=cfg.K, soft_label=cfg.soft_label,
+    # Label/pad/train stay SEPARATE jits on purpose: a fused
+    # label->pad->train program was built and A/B-measured on-device in
+    # round 4 (0.987x — no steady-state win, plus trainer-compile
+    # fragmentation across capacity buckets) and removed;
+    # `docs/decisions/fuse_label.json` records the measurement.
+    train, val, test = _label_bucket(
+        x, splits, streams, s, K=cfg.K, soft_label=cfg.soft_label)
+
+    train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
+    val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
+    test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
+
+    if use_pallas:
+        params, tl, vl = _train_bucket_pallas(
+            params, train, val, streams["epochs"], lr, weight_decay,
             batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-            reshuffle_period=period, use_pallas=use_pallas,
+            label_denom=cfg.K if cfg.soft_label else 1,
+            reshuffle_period=period,
         )
     else:
-        train, val, test = _label_bucket(
-            x, splits, streams, s, K=cfg.K, soft_label=cfg.soft_label)
-
-        train = _pad_rows(train, _next_pow2(train.u.shape[-1]))
-        val = _pad_rows(val, _next_pow2(val.u.shape[-1]))
-        test = _pad_rows(test, _next_pow2(test.u.shape[-1]))
-
-        if use_pallas:
-            params, tl, vl = _train_bucket_pallas(
-                params, train, val, streams["epochs"], lr, weight_decay,
-                batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-                label_denom=cfg.K if cfg.soft_label else 1,
-                reshuffle_period=period,
-            )
-        else:
-            params, tl, vl = _train_bucket_jnp(
-                params, train, val, streams["epochs"], lr, weight_decay,
-                batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
-                reshuffle_period=period,
-            )
+        params, tl, vl = _train_bucket_jnp(
+            params, train, val, streams["epochs"], lr, weight_decay,
+            batch_size=cfg.batch_size, num_epochs=cfg.num_epochs,
+            reshuffle_period=period,
+        )
 
     return _metrics_bucket(
         params, x, s, test, streams["sample_rows"], splits.sample.count,

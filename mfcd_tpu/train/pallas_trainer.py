@@ -32,29 +32,10 @@ import os
 
 from mfcd_tpu.data.btl import LabeledSplit
 from mfcd_tpu.models.mf import MFParams
-from mfcd_tpu.ops.kernels import (EpochState, pallas_train_epoch,
-                                  pallas_train_window,
-                                  pallas_window_supported)
-from mfcd_tpu.ops.shuffle import (default_reshuffle_period, epoch_permutation,
-                                  mix_stream, stream_tile_width,
-                                  window_shear_params)
+from mfcd_tpu.ops.kernels import EpochState, pallas_train_epoch
+from mfcd_tpu.ops.shuffle import (default_reshuffle_period, mix_stream,
+                                  stream_tile_width)
 from mfcd_tpu.train.trainer import batch_losses
-
-
-def multiepoch_enabled() -> bool:
-    """Whether the multi-epoch window kernel may be used
-    (``MFCD_MULTIEPOCH``; default resolves through the committed
-    device-measurement decision artifact — see
-    ``core/decisions.py`` and ``scripts/validate_multiepoch.py``).
-
-    Resolved at call time OUTSIDE the jit (it selects a different static
-    program).  The windowed path additionally requires pack mode "full",
-    a reshuffle period > 1, and the streams to fit VMEM
-    (``pallas_window_supported``).
-    """
-    from mfcd_tpu.core.decisions import flag_enabled
-
-    return flag_enabled("MFCD_MULTIEPOCH", "multiepoch", default=False)
 
 
 def _pack_spec(n: int, m: int, label_denom: int):
@@ -82,130 +63,6 @@ def _pack_spec(n: int, m: int, label_denom: int):
     if bits_n + 2 * bits_m <= 31:
         return "uij", bits_n, bits_m, 0
     return "none", 0, 0, 0
-
-
-@partial(
-    jax.jit,
-    static_argnames=("batch_size", "num_epochs", "label_denom", "interpret",
-                     "window"),
-)
-def _train_runs_windowed(
-    params: MFParams,          # U [R, n, d], V [R, m, d]
-    train: LabeledSplit,       # fields [R, N]
-    val: LabeledSplit,         # fields [R, Nv]
-    epochs_keys: jax.Array,    # [R] PRNG keys
-    lr: jax.Array,             # [R]
-    weight_decay: jax.Array,   # [R]
-    batch_size: int,
-    num_epochs: int,
-    label_denom: int,
-    interpret: bool,
-    window: int,
-) -> Tuple[MFParams, jax.Array, jax.Array]:
-    """Multi-epoch window path: one kernel launch per reshuffle window.
-
-    Same reshuffle cadence as the per-epoch path (a fresh PRP gather every
-    ``window`` epochs, applied here outside the kernel on the carried
-    packed stream); the cheap epochs in between use the in-kernel lane
-    shear (``ops.shuffle.window_shear_params``) instead of
-    ``mix_stream``'s rotation + tile PRP, and the per-epoch val pass runs
-    in-kernel.  Requires pack mode "full" (caller-checked).
-    """
-    r, n, d = params.U.shape
-    m = params.V.shape[1]
-    rows = train.u.shape[1]
-    num_batches = -(-rows // batch_size)
-    padded = num_batches * batch_size
-    k_bits = max(rows - 1, 1).bit_length()
-
-    state = EpochState(
-        u_t=jnp.swapaxes(params.U, 1, 2),
-        v_t=jnp.swapaxes(params.V, 1, 2),
-        mu_u=jnp.zeros((r, d, n), jnp.float32),
-        nu_u=jnp.zeros((r, d, n), jnp.float32),
-        mu_v=jnp.zeros((r, d, m), jnp.float32),
-        nu_v=jnp.zeros((r, d, m), jnp.float32),
-    )
-    count = train.count.astype(jnp.int32)
-    vcount = val.count.astype(jnp.int32)
-    nonempty = jnp.ceil(count.astype(jnp.float32) / batch_size)
-    lr = lr.astype(jnp.float32)
-    wd = weight_decay.astype(jnp.float32)
-
-    mode, bits_n, bits_m, bits_z = _pack_spec(n, m, label_denom)
-    assert mode in ("full", "uij")
-    kernel_pack = (mode, bits_n, bits_m, bits_z, label_denom)
-
-    def pad_rows(a, rows_in):
-        nb = -(-rows_in // batch_size)
-        return jnp.pad(a, ((0, 0), (0, nb * batch_size - rows_in)))
-
-    def pack_full(sp, rows_in, denom):
-        z_num = jnp.round(sp.z * float(denom)).astype(jnp.int32)
-        packed = (sp.u | (sp.i << bits_n) | (sp.j << (bits_n + bits_m))
-                  | (z_num << (bits_n + 2 * bits_m)))
-        return pad_rows(packed, rows_in)
-
-    if mode == "full":
-        stream0 = (pack_full(train, rows, label_denom),)
-    else:
-        # Soft-label numerator doesn't fit the word: packed (u, i, j) +
-        # a separate f32 z stream, sheared at the same positions.
-        uij = (train.u | (train.i << bits_n)
-               | (train.j << (bits_n + bits_m)))
-        stream0 = (pad_rows(uij, rows), pad_rows(train.z, rows))
-    # Val labels are always hard (reference structure.py:733-735): the
-    # packed numerator is the 0/1 label itself, denominator 1 — it fits
-    # the word in both pack modes (caller-gated).
-    vrows = val.u.shape[1]
-    nvb = -(-vrows // batch_size)
-    vstream = pack_full(val, vrows, 1).reshape(r, nvb, batch_size)
-
-    n_windows = -(-num_epochs // window)
-    slots = jnp.arange(padded, dtype=jnp.int32)
-
-    def window_step(carry, w):
-        state, stream = carry
-        start = w * window
-        # Fresh-PRP epoch: same key derivation as mix_stream's prp_epoch
-        # (fold_in(key, epoch), first split key).  The in-kernel shear is
-        # read-through (never persisted), so the PRP re-randomizes from the
-        # window-start order — a different but identically-distributed
-        # realization vs the per-epoch path, which composes onto the
-        # mixed order.
-        k0 = jax.vmap(lambda k: jax.random.fold_in(k, start))(epochs_keys)
-        kprp = jax.vmap(lambda k: jax.random.split(k, 3)[0])(k0)
-        sel = jax.vmap(
-            lambda k, c: epoch_permutation(k, slots, c, k_bits))(kprp, count)
-        stream = tuple(
-            jnp.take_along_axis(a, sel, axis=1) for a in stream)
-
-        cumb, offs = jax.vmap(
-            lambda k, c: window_shear_params(k, start, window, c, batch_size)
-        )(epochs_keys, count)
-        shear = jnp.concatenate([cumb, offs], axis=1)        # [R, 2W]
-        active = jnp.full((r,), 0, jnp.int32) + jnp.minimum(
-            num_epochs - start, window)
-        step0 = start.astype(jnp.float32) * nonempty
-
-        state, tl, vl = pallas_train_window(
-            state,
-            tuple(a.reshape(r, num_batches, batch_size) for a in stream),
-            vstream, lr, wd, step0, count, vcount, shear, active,
-            pack=kernel_pack, window=window, interpret=interpret,
-        )
-        return (state, stream), (tl, vl)
-
-    (state, _), (tls, vls) = jax.lax.scan(
-        window_step, (state, stream0), jnp.arange(n_windows))
-    final = MFParams(
-        U=jnp.swapaxes(state.u_t, 1, 2),
-        V=jnp.swapaxes(state.v_t, 1, 2),
-    )
-    # scan stacks [nW, R, W]; interleave to [R, nW*W] and trim the tail.
-    train_losses = jnp.transpose(tls, (1, 0, 2)).reshape(r, -1)
-    val_losses = jnp.transpose(vls, (1, 0, 2)).reshape(r, -1)
-    return final, train_losses[:, :num_epochs], val_losses[:, :num_epochs]
 
 
 @partial(
@@ -340,36 +197,19 @@ def train_runs_pallas(
     ``reshuffle_period`` follows :func:`mfcd_tpu.train.trainer.train_model`
     (env default resolved here, outside the jit, so it keys the cache).
 
-    When the multi-epoch window kernel applies (``multiepoch_enabled`` and
-    pack mode "full" with VMEM-resident streams), whole reshuffle windows
-    run as single kernel launches with the val pass fused in
-    (:func:`_train_runs_windowed`); otherwise the per-epoch kernel path.
-
     ``MFCD_PALLAS_INTERPRET=1`` forces interpret mode (resolved here,
     outside the jits) — it lets the full engine run the Pallas paths on
     CPU for integration tests.
+
+    (A multi-epoch "window" kernel variant — whole reshuffle windows per
+    launch with an in-kernel lane-shear and fused val pass — was built,
+    CI-validated, and REMOVED in round 4 after the on-device decision run
+    measured no win over this per-epoch path: 0.0785 vs 0.0777 s/run at
+    the canonical bench bucket, `docs/decisions/multiepoch.json`.)
     """
     interpret = interpret or os.environ.get(
         "MFCD_PALLAS_INTERPRET", "0") != "0"
     period = reshuffle_period or default_reshuffle_period()
-    n, d = params.U.shape[1:]
-    m = params.V.shape[1]
-    train_batches = -(-train.u.shape[1] // batch_size)
-    val_batches = -(-val.u.shape[1] // batch_size)
-    mode, bits_n, bits_m, _ = _pack_spec(n, m, label_denom)
-    # "uij" additionally needs the 1-bit hard val label to fit the word.
-    mode_ok = (mode == "full"
-               or (mode == "uij" and bits_n + 2 * bits_m + 1 <= 31))
-    if (period > 1 and multiepoch_enabled() and mode_ok
-            and stream_tile_width(batch_size) is not None
-            and pallas_window_supported(n, m, d, train_batches, val_batches,
-                                        batch_size,
-                                        n_streams=1 if mode == "full"
-                                        else 2)):
-        return _train_runs_windowed(
-            params, train, val, epochs_keys, lr, weight_decay,
-            batch_size=batch_size, num_epochs=num_epochs,
-            label_denom=label_denom, interpret=interpret, window=period)
     return _train_runs_pallas(
         params, train, val, epochs_keys, lr, weight_decay,
         batch_size=batch_size, num_epochs=num_epochs,
@@ -377,9 +217,4 @@ def train_runs_pallas(
         reshuffle_period=period)
 
 
-def _clear_caches():
-    _train_runs_pallas.clear_cache()
-    _train_runs_windowed.clear_cache()
-
-
-train_runs_pallas.clear_cache = _clear_caches
+train_runs_pallas.clear_cache = _train_runs_pallas.clear_cache

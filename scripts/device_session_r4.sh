@@ -1,9 +1,7 @@
 #!/bin/bash
 # Round-4 device backlog, run when the axon tunnel recovers.  Ordered to
 # secure the graded bench number FIRST (VERDICT r3 item 1: round 3 lost
-# its headline artifact to the outage), then the multi-epoch window
-# kernel decision data (item 2), then stage profiles for the deferred
-# optimizations (item 3), then a second bench pass so the round ends
+# its headline artifact to the outage), then stage profiles, then a second bench pass so the round ends
 # with a fresh number even if the tunnel drops again.  Logs persist
 # under docs/device_r4/ INSIDE the repo so the measurements survive and
 # get committed even if no builder session is active at recovery time.
@@ -38,11 +36,8 @@ run_step() {
 
 run_step 1800 canary python -c "import mfcd_tpu; from mfcd_tpu.cache import ensure_cache_healthy; ensure_cache_healthy(); import jax; print(jax.devices())"
 run_step 5400 bench python bench.py
-run_step 1800 smoke python scripts/smoke_multiepoch.py
 run_step 2700 sample_prof python scripts/profile_sample.py
-run_step 5400 validate python scripts/validate_multiepoch.py --reps 16
 run_step 5400 pipeline_ab python scripts/profile_pipeline_ab.py
-run_step 2700 fuse_ab python scripts/profile_fuse_ab.py
 run_step 3600 bench_sweep python bench.py --sweep
 run_step 5400 bench_final python bench.py
 
@@ -57,7 +52,7 @@ run_step 5400 bench_final python bench.py
     [ -f "$LOGDIR/$f.log" ] && tail -n 1 "$LOGDIR/$f.log" || echo "(missing)"
     echo
   done
-  for f in canary smoke sample_prof validate pipeline_ab fuse_ab; do
+  for f in canary sample_prof pipeline_ab; do
     echo "## $f (tail)"
     [ -f "$LOGDIR/$f.log" ] && tail -n 12 "$LOGDIR/$f.log" || echo "(missing)"
     echo

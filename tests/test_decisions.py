@@ -1,10 +1,14 @@
 """Measurement-driven feature decisions (``core/decisions.py``).
 
-The three gated optimizations (MFCD_MULTIEPOCH / MFCD_PIPELINE /
-MFCD_FUSE_LABEL) resolve their defaults through committed decision
+Gated optimizations resolve their defaults through committed decision
 artifacts written by the device validation / A/B scripts, so an
 unattended tunnel-recovery backlog resolves the gates without a human
 editing code.  Precedence: env var > artifact > off.
+
+Round-4 resolution: of the three original gates, MFCD_PIPELINE measured
+1.104x and remains (default on via docs/decisions/pipeline.json);
+multiepoch and fuse_label measured no win and their code paths were
+DELETED — their artifacts remain as the recorded evidence.
 """
 
 import json
@@ -63,28 +67,28 @@ def test_record_decision_refused_on_cpu(decision_dir, monkeypatch):
 def test_record_decision_persists_with_provenance(decision_dir, monkeypatch):
     monkeypatch.setattr(decisions, "_backend", lambda: "tpu")
     path = decisions.record_decision(
-        "fuse_label", False, {"speedup": 1.01, "rule": "r"})
+        "some_feature", False, {"speedup": 1.01, "rule": "r"})
     rec = json.load(open(path))
     assert rec["enable"] is False
     assert rec["evidence"]["speedup"] == 1.01
     assert rec["platform"] == "tpu"
     assert "recorded_at_utc" in rec and "commit" in rec
     # The freshly recorded decision is visible without a cache clear.
-    monkeypatch.delenv("MFCD_FUSE_LABEL", raising=False)
-    assert decisions.flag_enabled("MFCD_FUSE_LABEL", "fuse_label",
+    monkeypatch.delenv("MFCD_SOME_FEATURE", raising=False)
+    assert decisions.flag_enabled("MFCD_SOME_FEATURE", "some_feature",
                                   default=True) is False
 
 
 def test_gates_resolve_through_decisions(decision_dir, monkeypatch):
-    """The three production gates actually consult the module."""
+    """The surviving production gate (pipeline) actually consults the
+    module, in both directions."""
     monkeypatch.setattr(decisions, "_backend", lambda: "tpu")
-    for env, name in [("MFCD_MULTIEPOCH", "multiepoch"),
-                      ("MFCD_PIPELINE", "pipeline"),
-                      ("MFCD_FUSE_LABEL", "fuse_label")]:
-        monkeypatch.delenv(env, raising=False)
-        decisions.record_decision(name, True, {})
-    from mfcd_tpu.train.pallas_trainer import multiepoch_enabled
+    monkeypatch.delenv("MFCD_PIPELINE", raising=False)
+    decisions.record_decision("pipeline", True, {})
+    from mfcd_tpu.sweep.batched import pipeline_enabled
 
-    assert multiepoch_enabled() is True
-    assert decisions.flag_enabled("MFCD_PIPELINE", "pipeline") is True
-    assert decisions.flag_enabled("MFCD_FUSE_LABEL", "fuse_label") is True
+    assert pipeline_enabled() is True
+    decisions._cache.clear()
+    (decision_dir / "pipeline.json").write_text(
+        json.dumps({"enable": False}))
+    assert pipeline_enabled() is False
