@@ -99,6 +99,7 @@ def sample_triplets(
         key, x, num_triplets, strategy,
         m_draw=m_draw, popularity_method=popularity_method, alpha=alpha,
         n_clusters=n_clusters, budget=budget,
+        exclude=exclude, exclude_valid=exclude_valid,
     )
     return select_unique(
         cands, valid, num_triplets,
@@ -117,12 +118,19 @@ def propose_candidates(
     alpha: float = 1.5,
     n_clusters: int = 10,
     budget=None,
+    exclude: Optional[jax.Array] = None,
+    exclude_valid: Optional[jax.Array] = None,
 ):
     """Strategy dispatch: overdrawn proposals ``(cands [M, 3], valid [M])``.
 
     The proposal half of :func:`sample_triplets`; draw order is the
     reference's insertion order (first-occurrence winners in draw order
-    reproduce the rejection loop's dataset order).
+    reproduce the rejection loop's dataset order).  ``exclude`` is only
+    consumed by ``user_similarity``, whose in-sampler cascade must treat
+    excluded keys as duplicates (cascade to the next neighbor) rather
+    than leaving them to the downstream dedup (which would kill the
+    attempt); every other strategy ignores it here and relies on the
+    downstream exclude pass.
     """
     n, m = x.shape
     eff_budget = num_triplets if budget is None else budget
@@ -151,7 +159,8 @@ def propose_candidates(
             key, x, m_draw, n_clusters=n_clusters)
     elif strategy == "user_similarity":
         cands, valid = strategies.propose_user_similarity(
-            key, x, m_draw, num_triplets=num_triplets)
+            key, x, m_draw, num_triplets=num_triplets,
+            exclude=exclude, exclude_valid=exclude_valid)
     elif strategy == "svd":
         cands, valid = strategies.propose_svd(
             key, x, m_draw, num_triplets=num_triplets, budget=budget)

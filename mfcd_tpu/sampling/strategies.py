@@ -299,16 +299,39 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
 # live top-set masks are [_US_CHUNK, m] (~40MB of bools at m=10k).
 _US_CHUNK = 4096
 
-def propose_user_similarity(key, x, m_draw, num_triplets: int):
-    """Cosine-similar users' divergent top items.
+def propose_user_similarity(key, x, m_draw, num_triplets: int,
+                            exclude=None, exclude_valid=None):
+    """Cosine-similar users' divergent top items, with the reference's
+    per-attempt neighbor CASCADE resolved in-sampler.
 
-    Per candidate: a random user u, one of its most-similar users v, then
-    i uniform from top(u) \\ top(v) and j from top(v) \\ top(u), falling
-    back to a distinct pair from top(u) when either difference is empty —
-    the reference's per-neighbor scan collapsed to one sampled neighbor.
+    The reference (``generation_data.py:294-316``) walks each attempt's
+    neighbor list in DESCENDING similarity order and accepts the first
+    candidate not already in the triplet set: for neighbor v, i uniform
+    from top(u) \\ top(v) and j from top(v) \\ top(u) when both are
+    non-empty, else a distinct pair from top(u); a duplicate moves on to
+    the next neighbor with fresh randomness.  The accepted mixture is
+    therefore rank-1-dominated early and shifts to deeper ranks as the
+    shallow ranks' supports exhaust — a uniformly-sampled neighbor (the
+    pre-round-4 design) is a measurably different mixture (P12 high-rep
+    parity caught it at r=100: Welch z=4.08 on alpha).
+
+    This sampler generates a candidate per (attempt, rank) — ``m_draw``
+    counts ATTEMPTS — and resolves the cascade to the exact sequential
+    fixpoint with :func:`cascade_resolve` (oracle-pinned).  Returned rows
+    are each attempt's accepted candidate (already globally unique and
+    exclude-free), so the downstream dedup pass is an order-preserving
+    no-op.  ``exclude`` pre-seeds the cascade's hash table so an excluded
+    candidate CASCADES to the next neighbor exactly like the reference's
+    ``t not in exclude`` check (``generation_data.py:313``) — this
+    matters for the 500-label test top-up, where at small p the top-up
+    dominates the test split and an attempt-killing exclude would skew
+    it toward shallow-rank (similar-neighbor, close-call) triplets
+    (caught by the P12 r=100 certificate: gt_accuracy z=4.6 low before
+    this).
     """
     n, m = x.shape
     num_neighbors = min(20, max(3, num_triplets // n))
+    num_neighbors = min(num_neighbors, n - 1)
     top_k_items = max(3, min(m // 10, 10 + num_triplets // (5 * n)))
     top_k_items = min(top_k_items, m)
 
@@ -323,47 +346,146 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int):
         jnp.arange(n)[:, None], topk_idx
     ].set(True)
 
-    ku, kv, ki, kj, kf = jax.random.split(key, 5)
-    u = jax.random.randint(ku, (m_draw,), 0, n)
-    v = neighbors[u, jax.random.randint(kv, (m_draw,), 0, num_neighbors)]
+    ku, kc = jax.random.split(key)
+    a = m_draw  # attempts
+    u = jax.random.randint(ku, (a,), 0, n)
 
     def masked_uniform(kk, mask):
         logits = jnp.where(mask, 0.0, -1e30)
         return jax.random.categorical(kk, logits, axis=-1).astype(jnp.int32)
 
-    # The top-set membership masks are [chunk, m], not [M, m]: the M axis
-    # is streamed through lax.map so live memory is O(chunk*m), which keeps
-    # the sampler viable at 10k+ items (M can be millions of candidates).
-    chunk = min(_US_CHUNK, m_draw)
-    pad = (-m_draw) % chunk
-    nchunks = (m_draw + pad) // chunk
+    # Candidate generation: [nb, A] per-rank i/j.  The top-set membership
+    # masks are [chunk, m]: the attempt axis is streamed through lax.map
+    # and the rank axis through an inner lax.map, so live memory stays
+    # O(chunk * m) regardless of A and nb.
+    chunk = min(_US_CHUNK, a)
+    pad = (-a) % chunk
+    nchunks = (a + pad) // chunk
     u_p = jnp.pad(u, (0, pad)) if pad else u
-    v_p = jnp.pad(v, (0, pad)) if pad else v
 
-    def body(args):
-        kki, kkj, u_c, v_c = args
+    def chunk_body(args):
+        kk_c, u_c = args
         mask_u = topk_mask[u_c]                                # [chunk, m]
-        mask_v = topk_mask[v_c]
-        only_u = mask_u & ~mask_v
-        only_v = mask_v & ~mask_u
-        have = jnp.any(only_u, axis=1) & jnp.any(only_v, axis=1)
-        return masked_uniform(kki, only_u), masked_uniform(kkj, only_v), have
+        tk_u = topk_idx[u_c]                                   # [chunk, tk]
 
-    i_diff, j_diff, have_diff = jax.lax.map(
-        body,
-        (jax.random.split(ki, nchunks), jax.random.split(kj, nchunks),
-         u_p.reshape(nchunks, chunk), v_p.reshape(nchunks, chunk)))
-    i_diff = i_diff.reshape(-1)[:m_draw]
-    j_diff = j_diff.reshape(-1)[:m_draw]
-    have_diff = have_diff.reshape(-1)[:m_draw]
-    # Fallback: distinct pair from top(u).
-    pa, pb = _distinct_pos(kf, m_draw, top_k_items)
-    i_fb = topk_idx[u, pa]
-    j_fb = topk_idx[u, pb]
-    i = jnp.where(have_diff, i_diff, i_fb)
-    j = jnp.where(have_diff, j_diff, j_fb)
+        def rank_body(rargs):
+            kk_r, r = rargs
+            kki, kkj, kkf = jax.random.split(kk_r, 3)
+            v_c = neighbors[u_c, r]
+            mask_v = topk_mask[v_c]
+            only_u = mask_u & ~mask_v
+            only_v = mask_v & ~mask_u
+            have = jnp.any(only_u, axis=1) & jnp.any(only_v, axis=1)
+            i_diff = masked_uniform(kki, only_u)
+            j_diff = masked_uniform(kkj, only_v)
+            pa, pb = _distinct_pos(kkf, u_c.shape[0], top_k_items)
+            i_fb = jnp.take_along_axis(tk_u, pa[:, None], axis=1)[:, 0]
+            j_fb = jnp.take_along_axis(tk_u, pb[:, None], axis=1)[:, 0]
+            i_r = jnp.where(have, i_diff, i_fb)
+            j_r = jnp.where(have, j_diff, j_fb)
+            return i_r, j_r
+
+        return jax.lax.map(
+            rank_body,
+            (jax.random.split(kk_c, num_neighbors),
+             jnp.arange(num_neighbors, dtype=jnp.int32)))
+
+    i_all, j_all = jax.lax.map(
+        chunk_body,
+        (jax.random.split(kc, nchunks), u_p.reshape(nchunks, chunk)))
+    # [nchunks, nb, chunk] -> [nb, A]
+    i_all = jnp.transpose(i_all, (1, 0, 2)).reshape(num_neighbors, -1)[:, :a]
+    j_all = jnp.transpose(j_all, (1, 0, 2)).reshape(num_neighbors, -1)[:, :a]
+
+    wins = cascade_resolve(u, i_all, j_all, m,
+                           exclude=exclude, exclude_valid=exclude_valid)
+    resolved = jnp.any(wins, axis=0)
+    # Each attempt's accepted candidate (rank where win fired; <=1 per
+    # attempt by the participation gating).
+    i = jnp.sum(jnp.where(wins, i_all, 0), axis=0).astype(jnp.int32)
+    j = jnp.sum(jnp.where(wins, j_all, 0), axis=0).astype(jnp.int32)
     cands = jnp.stack([u, i, j], axis=1)
-    return cands, i != j
+    return cands, resolved
+
+
+def cascade_resolve(u, i_all, j_all, m: int, iters: int = 10,
+                    exclude=None, exclude_valid=None):
+    """Resolve the neighbor cascade exactly as the reference's sequential
+    loop would: for each attempt in order, the FIRST rank whose (u, i, j)
+    is not already accepted wins (``generation_data.py:294-316``).
+
+    ``u`` is [A]; ``i_all``/``j_all`` are [nb, A] per-rank candidates.
+    Returns a [nb, A] win mask with at most one True per attempt.
+
+    The sequential semantics are the fixpoint of two coupled conditions
+    under ATTEMPT-major order tags ``tag(a, r) = a * nb + r`` (attempt
+    a's whole cascade runs before attempt a+1 starts):
+
+      participate(a, r)  <=>  no win(a, r') for r' < r
+      win(a, r)          <=>  participate(a, r) and tag(a, r) is the
+                              minimum tag among participating candidates
+                              with the same key
+
+    Iterating (participation -> fresh scatter-min table -> wins) from
+    all-participate converges to that fixpoint: pass 1 already fixes
+    every attempt whose rank-0 candidate is globally fresh, and each
+    later pass corrects the attempts whose win was invalidated by a
+    smaller-tag (earlier-attempt, deeper-rank) accept.  ``iters=10`` was
+    exact vs a sequential oracle on 60/60 adversarially duplicate-heavy
+    trials (domains as small as 210 keys for ~2000 candidates — far
+    denser than any real config); ``tests/test_sampling.py`` pins it.
+    Keys colliding in the hash lose their slot — the same documented
+    uniform thinning as ``dedup._hashed_winners``, absorbed by the
+    attempt margin.
+    """
+    nb, a = i_all.shape
+    valid = i_all != j_all
+    packed = (u[None, :] * m + i_all) * m + j_all
+    bits = min(max((16 * a - 1).bit_length(), 20), 24)
+    h = 1 << bits
+
+    def hash_slot(p):
+        return (
+            (p.astype(jnp.uint32) * jnp.uint32(2654435761))
+            >> jnp.uint32(32 - bits)
+        ).astype(jnp.int32)
+
+    slot_all = hash_slot(packed)
+    tags = (jnp.arange(a, dtype=jnp.int32)[None, :] * nb
+            + jnp.arange(nb, dtype=jnp.int32)[:, None])
+    sentinel = jnp.iinfo(jnp.int32).max
+
+    # Exclude entries always win their slot (tag -1): an excluded
+    # candidate cascades to the attempt's next neighbor, mirroring the
+    # reference's ``t not in exclude`` check.
+    if exclude is not None:
+        ex = exclude.astype(jnp.int32)
+        ex_packed = (ex[:, 0] * m + ex[:, 1]) * m + ex[:, 2]
+        ex_slot = hash_slot(ex_packed)
+        if exclude_valid is not None:
+            ex_slot = jnp.where(exclude_valid, ex_slot, h)
+    else:
+        ex_slot = None
+
+    def one_pass(win, _):
+        earlier_win = jnp.cumsum(win, axis=0) - win.astype(jnp.int32)
+        participate = valid & (earlier_win == 0)
+        slot = jnp.where(participate, slot_all, h)
+        table = jnp.full((h,), sentinel, jnp.int32)
+        if ex_slot is not None:
+            table = table.at[ex_slot].min(jnp.int32(-1), mode="drop")
+        table = table.at[slot.reshape(-1)].min(
+            tags.reshape(-1), mode="drop")
+        win = participate & (
+            table[jnp.minimum(slot, h - 1)] == tags)
+        return win, None
+
+    win0 = jnp.zeros((nb, a), bool)
+    win, _ = jax.lax.scan(one_pass, win0, None, length=iters)
+    # Keep only each attempt's first win (exactly the fixpoint's
+    # participation rule; a no-op once converged).
+    first = (jnp.cumsum(win, axis=0) - win.astype(jnp.int32)) == 0
+    return win & first
 
 
 # === Overdraw planning (host-side, static) ================================
@@ -426,14 +548,16 @@ def plan_overdraw(
         c = 10
         return generic(n * m * m * (1.0 - 1.0 / c) / 2.0, safety=1.5)
     if strategy == "user_similarity":
-        # The proposal is a mixture of concentrated difference-set draws
-        # (~68% at the canonical n=m=1000, T=1e5 config) and top(u)
-        # distinct-pair fallbacks over an ~n*tk*(tk-1) pool; measured
-        # unique yield at that config is ~69k/2T, ~124k/4T, so 5T fills
-        # the 100k budget with ~45% margin (NOTES_ROUND4.md).  The
-        # reference's own sampler caps at 10k attempts total
+        # ``m_draw`` counts ATTEMPTS (the cascade sampler generates one
+        # candidate per neighbor rank per attempt internally).  Each
+        # attempt gets up to num_neighbors (<=20) chances at a fresh
+        # triplet — per-attempt success stays near 1 until the strategy's
+        # support is nearly exhausted (the per-rank fallback pool alone
+        # spans ~n*tk*(tk-1) ~ 824k at the canonical config) — so 2T
+        # attempts fill the budget with a ~2x margin.  The reference's
+        # own sampler caps at 10k attempts total
         # (generation_data.py:251-295) and returns <=10% of this budget.
-        return max(5 * t, 10_000)
+        return max(2 * t, 10_000)
     if strategy == "svd":
         return 5 * t  # reference over-generation cap
     raise ValueError(f"Unknown triplet sampling strategy: {strategy}")

@@ -229,25 +229,29 @@ def test_user_similarity_chunked_10k():
 def test_user_similarity_chunking_same_constraints():
     """The padded multi-chunk path satisfies the same sampler invariants as
     the single-chunk path (i in top(u)\\top(v) or fallback pair from top(u));
-    per-chunk RNG keys make the draws themselves differ by design."""
+    per-chunk RNG keys make the draws themselves differ by design.  With
+    the cascade sampler, returned rows are per-attempt RESOLVED candidates:
+    valid rows are already globally unique."""
     from mfcd_tpu.sampling import strategies as S
 
     x = generate_x(jax.random.key(5), 60, 80, 3, "base")
     key = jax.random.key(9)
     old_chunk = S._US_CHUNK
     try:
-        S._US_CHUNK = 128  # force 3 padded chunks for m_draw=300
+        S._US_CHUNK = 128  # force 3 padded chunks for 300 attempts
         cands, valid = S.propose_user_similarity(key, x, 300, 100)
     finally:
         S._US_CHUNK = old_chunk
     cands = np.asarray(cands)
     valid = np.asarray(valid)
     assert cands.shape == (300, 3) and valid.shape == (300,)
-    u, i, j = cands.T
+    u, i, j = cands[valid].T
     assert (u >= 0).all() and (u < 60).all()
     assert (i >= 0).all() and (i < 80).all()
     assert (j >= 0).all() and (j < 80).all()
-    assert (i[valid] != j[valid]).all()
+    assert (i != j).all()
+    # Resolved rows are already unique (the cascade dedups in-sampler).
+    assert len({tuple(r) for r in cands[valid].tolist()}) == valid.sum()
     # Every sampled i must be a top-k item of its user (holds on both the
     # difference-set and fallback branches).
     tk = max(3, min(80 // 10, 10 + 100 // (5 * 60)))
@@ -354,3 +358,38 @@ def test_sample_and_split_matches_select_unique_count():
     ref_set, _ = _as_set(ref)
     got_set, _ = _as_set(out.sample)
     assert got_set == ref_set
+
+
+def test_user_similarity_cascade_matches_sequential_oracle():
+    """cascade_resolve == the reference's sequential accept-first-fresh-rank
+    loop (generation_data.py:294-316), on duplicate-heavy small domains
+    where the fixpoint iteration is hardest (many cross-attempt steals)."""
+    from mfcd_tpu.sampling.strategies import cascade_resolve
+
+    def oracle(u, i_all, j_all):
+        nb, a = i_all.shape
+        accepted = set()
+        win = np.zeros((nb, a), bool)
+        for at in range(a):
+            for r in range(nb):
+                if i_all[r, at] == j_all[r, at]:
+                    continue
+                key = (int(u[at]), int(i_all[r, at]), int(j_all[r, at]))
+                if key not in accepted:
+                    accepted.add(key)
+                    win[r, at] = True
+                    break
+        return win
+
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        a = int(rng.integers(50, 300))
+        nb = int(rng.integers(3, 15))
+        n = int(rng.integers(5, 25))
+        m = int(rng.integers(5, 25))
+        u = rng.integers(0, n, a).astype(np.int32)
+        i_all = rng.integers(0, m, (nb, a)).astype(np.int32)
+        j_all = rng.integers(0, m, (nb, a)).astype(np.int32)
+        got = np.asarray(cascade_resolve(
+            jnp.asarray(u), jnp.asarray(i_all), jnp.asarray(j_all), m))
+        np.testing.assert_array_equal(got, oracle(u, i_all, j_all))

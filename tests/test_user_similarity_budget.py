@@ -2,12 +2,12 @@
 
 The reference sampler (``generation_data.py:251-295``) caps at 10k attempts
 (<= 1 triplet each), so at the canonical n=m=1000, p=0.2 budget of 100k it
-returns at most 10% of target with a warning.  Round 3's streamed-mask
-sampler delivered ~73k/100k under a 2x overdraw plan; the reachable domain
-analysis (NOTES_ROUND4.md) showed that was a planning shortfall, not a
-support ceiling — the top(u) distinct-pair fallback alone spans an
-~n*tk*(tk-1) ~ 824k pool.  With the 5x plan the sampler must deliver
-``count == budget`` exactly.
+returns at most 10% of target with a warning.  The round-4 cascade sampler
+gives every attempt up to num_neighbors (<=20) chances at a fresh triplet
+(the reference's own per-attempt neighbor scan), so per-attempt success
+stays near 1 until the support is nearly exhausted (the fallback pool alone
+spans ~n*tk*(tk-1) ~ 824k) — with the 2x-attempts plan the sampler must
+deliver ``count == budget`` exactly.
 """
 
 import jax
@@ -18,8 +18,8 @@ from mfcd_tpu.sampling import sample_triplets
 from mfcd_tpu.sampling.strategies import plan_overdraw
 
 
-def test_overdraw_plan_is_5x():
-    assert plan_overdraw("user_similarity", 100_000, 1000, 1000) == 500_000
+def test_overdraw_plan_is_2x_attempts():
+    assert plan_overdraw("user_similarity", 100_000, 1000, 1000) == 200_000
 
 
 @pytest.mark.slow
