@@ -99,19 +99,51 @@ def _epoch_kernel(
     log_b1 = jnp.log(jnp.float32(b1))
     log_b2 = jnp.log(jnp.float32(b2))
 
+    # One-hot matmuls as THREE 1-pass (DEFAULT-precision) dots over an
+    # exact 3-term bf16-representable split of the value operand, instead
+    # of one 6-pass HIGHEST dot: value-exact and ~27% faster per step on
+    # the bench shape (1.31 vs 1.79 us/run-step,
+    # scripts/profile_kernel_split.py).
+    #
+    # Exactness: v == hi + mid + lo with every term bf16-REPRESENTABLE
+    # (Dekker-style split; 3 x 8 mantissa bits cover f32's 24), so
+    # DEFAULT's operand truncation is the identity, every product against
+    # the one-hot's exact 0/±1 is exact, and f32 accumulation of the
+    # one-nonzero gather sums reproduces v bit-for-bit.  Scatter sums
+    # over duplicate rows are value-exact too, but the SUMMATION ORDER
+    # (three complete per-term sums added last) differs from HIGHEST's
+    # interleaved pass accumulation by ~1 ulp per duplicated row — the
+    # pallas-vs-jnp equivalence is therefore pinned at allclose
+    # (tests/test_pallas.py rtol<=2e-3) rather than bitwise, while
+    # sharded==unsharded stays bit-exact (same kernel on both sides).
+    # Mosaic lowers only DEFAULT/HIGHEST dot precisions (HIGH raises
+    # NotImplementedError), and bf16 ARRAYS trip sublane tiling at d<16 —
+    # all-f32 operands with DEFAULT precision sidestep both.
+    def _split3(v):
+        hi = v.astype(jnp.bfloat16).astype(_F32)
+        r1 = v - hi
+        mid = r1.astype(jnp.bfloat16).astype(_F32)
+        lo = r1 - mid
+        return hi, mid, lo
+
+    def _dot3(value, oh, dims):
+        acc = None
+        for part in _split3(value):
+            term = jax.lax.dot_general(
+                part, oh, (dims, ((), ())),
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
     def contract(table_t, oh):
         # [d, N] x [bs, N] -> [d, bs]
-        return jax.lax.dot_general(
-            table_t, oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=_F32,
-        )
+        return _dot3(table_t, oh, ((1,), (1,)))
 
     def scatter(grad_rows, oh):
         # [d, bs] x [bs, N] -> [d, N]
-        return jax.lax.dot_general(
-            grad_rows, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=_F32,
-        )
+        return _dot3(grad_rows, oh, ((1,), (0,)))
 
     def body(tl, loss_sum):
         t = base + tl
