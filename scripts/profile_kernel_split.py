@@ -288,6 +288,211 @@ def _run_variant(state: EpochState, stream, lr, wd, step0, count,
     return EpochState(*out[:6]), out[6][:, 0]
 
 
+
+
+def _factored_kernel(
+    lr_ref, wd_ref, step0_ref, count_ref, *refs,
+    b1: float, b2: float, eps: float, pack: tuple,
+):
+    """Two-level factored one-hot prototype — MEASURED AND REJECTED.
+
+    idx = hi * L + lo with L = 128: gathers/scatters run as contractions
+    against tiny [bs, H] / [bs, L] one-hots, with the table state held in
+    a dense [H, d*L] layout (d packed into lanes — no sublane padding
+    waste) and the exact split-3 parts CONCATENATED along the contraction
+    axis so each gather/scatter is ONE DEFAULT-precision dot.
+
+    On-chip verdict (2026-08-18, bench shape): value-correct (final U
+    allclose vs the production kernel, max |delta| 2.4e-7) but SLOWER —
+    2.06 vs 1.52 us/run-step in the same session: the per-step state
+    re-split + per-d lane reductions + 6 small dots cost more than the
+    wide one-hot builds they replace.  Kept as the measurement record.
+    """
+    mode, bits_n, bits_m, bits_z, denom = pack
+    stream_refs = refs[:1]
+    (u_out, v_out, mu_u_out, nu_u_out, mu_v_out, nu_v_out,
+     loss_out) = refs[1 + 6:]
+    # State layout here: [H, d*L] (H=8 sublanes, lanes = d*L).
+    hsub, dl = u_out.shape[1], u_out.shape[2]
+    L = 128
+    d = dl // L
+    chunk = stream_refs[0].shape[1]
+    bs = stream_refs[0].shape[2]
+    run = pl.program_id(0)
+    ci = pl.program_id(1)
+    lr = lr_ref[run, 0]
+    wd = wd_ref[run, 0]
+    step0 = step0_ref[run, 0]
+    count = count_ref[run, 0]
+    num_exec = (count + bs - 1) // bs
+    base = ci * chunk
+    local_exec = jnp.clip(num_exec - base, 0, chunk)
+    log_b1 = jnp.log(jnp.float32(b1))
+    log_b2 = jnp.log(jnp.float32(b2))
+
+    def split3cat(state2d):
+        hi = state2d.astype(jnp.bfloat16).astype(_F32)
+        r1 = state2d - hi
+        mid = r1.astype(jnp.bfloat16).astype(_F32)
+        lo = r1 - mid
+        return jnp.concatenate([hi, mid, lo], axis=0)   # [3H, dl]
+
+    def onehots(idx):
+        hi = idx >> 7
+        lo = idx & 127
+        oh_hi = (jax.lax.broadcasted_iota(jnp.int32, (bs, hsub), 1)
+                 == hi[:, None]).astype(_F32)           # [bs, H]
+        oh_lo = (jax.lax.broadcasted_iota(jnp.int32, (bs, L), 1)
+                 == lo[:, None]).astype(_F32)           # [bs, L]
+        return oh_hi, oh_lo
+
+    def gather(state_cat, oh_hi, oh_lo):
+        # ONE dot: [bs, 3H] x [3H, dl] -> [bs, dl]; then per-d lane
+        # reduction against oh_lo.
+        oh3 = jnp.concatenate([oh_hi, oh_hi, oh_hi], axis=1)
+        tmp = jax.lax.dot_general(
+            oh3, state_cat, ((((1,), (0,))), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.DEFAULT)        # [bs, dl]
+        rows = []
+        for dd in range(d):
+            seg = tmp[:, dd * L:(dd + 1) * L]
+            rows.append(jnp.sum(seg * oh_lo, axis=1, keepdims=True))
+        return jnp.concatenate(rows, axis=1)            # [bs, d]
+
+    def scatter_fac(g_rows, oh_hi, oh_lo):
+        # g_rows [bs, d] -> s1 [bs, dl]; ONE dot [H, 3bs] x [3bs, dl].
+        segs = []
+        for dd in range(d):
+            segs.append(g_rows[:, dd:dd + 1] * oh_lo)   # [bs, L]
+        s1 = jnp.concatenate(segs, axis=1)              # [bs, dl]
+        s1hi = s1.astype(jnp.bfloat16).astype(_F32)
+        r1 = s1 - s1hi
+        s1mid = r1.astype(jnp.bfloat16).astype(_F32)
+        s1lo = r1 - s1mid
+        s1cat = jnp.concatenate([s1hi, s1mid, s1lo], axis=0)  # [3bs, dl]
+        oh3 = jnp.concatenate([oh_hi, oh_hi, oh_hi], axis=0)  # [3bs, H]
+        return jax.lax.dot_general(
+            oh3, s1cat, ((((0,), (0,))), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.DEFAULT)        # [H, dl]
+
+    def body(tl, loss_sum):
+        t = base + tl
+        y = stream_refs[0][0, tl, :]
+        idx_u = y & ((1 << bits_n) - 1)
+        idx_i = (y >> bits_n) & ((1 << bits_m) - 1)
+        idx_j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
+        k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
+        z = (k.astype(_F32) / jnp.float32(denom)).reshape(1, bs)
+        slots = t * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        mask = (slots < count).astype(_F32)
+
+        u_cat = split3cat(u_out[0])
+        v_cat = split3cat(v_out[0])
+        ohu = onehots(idx_u)
+        ohi = onehots(idx_i)
+        ohj = onehots(idx_j)
+
+        eu = gather(u_cat, *ohu)                        # [bs, d]
+        vi = gather(v_cat, *ohi)
+        vj = gather(v_cat, *ohj)
+        dv = vi - vj
+        logits = jnp.sum(eu * dv, axis=1).reshape(1, bs)
+
+        bce = (jnp.maximum(logits, 0.0) - logits * z
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        cnt = jnp.sum(mask)
+        inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+        loss = jnp.sum(bce * mask) * inv_cnt
+        g = ((jax.nn.sigmoid(logits) - z) * mask * inv_cnt)  # [1, bs]
+        gT = g.reshape(bs, 1)
+
+        grad_u = scatter_fac(gT * dv, *ohu)             # [H, dl]
+        grad_vi = scatter_fac(gT * eu, *ohi)
+        grad_vj = scatter_fac(-(gT * eu), *ohj)
+        grad_v = grad_vi + grad_vj
+
+        t_step = step0 + (t + 1).astype(_F32)
+        bc1 = 1.0 - jnp.exp(t_step * log_b1)
+        bc2 = 1.0 - jnp.exp(t_step * log_b2)
+
+        def update(p_ref, mu_ref, nu_ref, grad):
+            p = p_ref[0]
+            grad = grad + wd * p
+            mu = b1 * mu_ref[0] + (1.0 - b1) * grad
+            nu = b2 * nu_ref[0] + (1.0 - b2) * grad * grad
+            p_ref[0] = p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+            mu_ref[0] = mu
+            nu_ref[0] = nu
+
+        update(u_out, mu_u_out, nu_u_out, grad_u)
+        update(v_out, mu_v_out, nu_v_out, grad_v)
+        return loss_sum + loss
+
+    loss_sum = jax.lax.fori_loop(0, local_exec, body, jnp.float32(0.0))
+
+    @pl.when(ci == 0)
+    def _():
+        loss_out[run, 0] = 0.0
+
+    loss_out[run, 0] += loss_sum / jnp.maximum(num_exec.astype(_F32), 1.0)
+
+
+def to_factored_layout(a):
+    """[R, d, n] f32 -> [R, H=8, d*128] (n = H*128 exactly)."""
+    import numpy as np
+
+    r, d, n = a.shape
+    h = n // 128
+    assert h * 128 == n and h == 8
+    # [R, d, H, L] -> [R, H, d, L] -> [R, H, d*L]
+    return jnp.asarray(np.transpose(np.asarray(a).reshape(r, d, h, 128),
+                                    (0, 2, 1, 3)).reshape(r, h, d * 128))
+
+
+def from_factored_layout(a, d):
+    import numpy as np
+
+    r, h, dl = a.shape
+    L = 128
+    return np.transpose(np.asarray(a).reshape(r, h, d, L),
+                        (0, 2, 1, 3)).reshape(r, d, h * L)
+
+
+@functools.partial(jax.jit, static_argnames=("pack",))
+def _run_factored(state_f, stream, lr, wd, step0, count, pack: tuple):
+    """state_f: EpochState-like tuple in [R, 8, d*128] layout."""
+    r, hsub, dl = state_f[0].shape
+    num_batches = stream[0].shape[1]
+    bs = stream[0].shape[2]
+    chunk = max(1, min(num_batches, (512 * 1024) // (bs * 4)))
+    n_chunks = -(-num_batches // chunk)
+    pad_b = n_chunks * chunk - num_batches
+    if pad_b:
+        stream = tuple(
+            jnp.pad(a, ((0, 0), (0, pad_b), (0, 0))) for a in stream)
+    spec = pl.BlockSpec((1, hsub, dl), lambda i, c: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((1, chunk, bs), lambda i, c: (i, c, 0),
+                              memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((r, 1), lambda i, c: (0, 0),
+                               memory_space=pltpu.SMEM)
+    kernel = functools.partial(_factored_kernel, b1=0.9, b2=0.999,
+                               eps=1e-8, pack=pack)
+    out = pl.pallas_call(
+        kernel,
+        grid=(r, n_chunks),
+        in_specs=[scalar_spec] * 4 + [batch_spec] + [spec] * 6,
+        out_specs=[spec] * 6 + [scalar_spec],
+        out_shape=[jax.ShapeDtypeStruct((r, hsub, dl), _F32)] * 6
+                  + [jax.ShapeDtypeStruct((r, 1), _F32)],
+        input_output_aliases={5 + k: k for k in range(6)},
+    )(lr.reshape(r, 1), wd.reshape(r, 1), step0.reshape(r, 1),
+      count.astype(jnp.int32).reshape(r, 1), *stream, *state_f)
+    return out[:6], out[6][:, 0]
+
+
 VARIANTS = {
     "loop_only": ((), False),
     "oh_only": (("oh",), False),
@@ -362,6 +567,43 @@ def main():
         final_states[name] = jax.device_get(st.u_t)
         log(f"{name:12s}: {per_epoch:.4f} s/epoch-bucket "
             f"({per_step_us:.3f} us/run-step)  loss0={float(loss[0]):.4f}")
+
+    # --- factored two-level one-hot prototype ---
+    try:
+        pad_n = 1024
+        def padded3(arr):
+            return jnp.pad(arr, ((0, 0), (0, 0), (0, pad_n - arr.shape[2])))
+        state_f = tuple(to_factored_layout(padded3(a)) for a in state)
+        reps_f = reps
+        sf, loss = _run_factored(state_f, stream, lr, wd, step0, count,
+                                 pack=pack)
+        jax.block_until_ready(sf)
+        t0 = time.time()
+        for _ in range(reps_f):
+            sf, loss = _run_factored(state_f, stream, lr, wd, step0, count,
+                                     pack=pack)
+        jax.block_until_ready(sf)
+        per_epoch = (time.time() - t0) / reps_f
+        per_step_us = per_epoch / (r * num_batches) * 1e6
+        results["full_factored"] = {"s_per_epoch": round(per_epoch, 4),
+                                    "us_per_run_step": round(per_step_us, 3)}
+        log(f"full_factored: {per_epoch:.4f} s/epoch-bucket "
+            f"({per_step_us:.3f} us/run-step)  loss0={float(loss[0]):.4f}")
+        if "full" in final_states:
+            import numpy as np
+
+            u_back = from_factored_layout(sf[0], d)[:, :, :n]
+            ref = final_states["full"]
+            close = bool(np.allclose(u_back, ref, rtol=1e-4, atol=1e-6))
+            maxd = float(np.max(np.abs(u_back - ref)))
+            log(f"factored final U allclose vs full: {close} "
+                f"(max |delta| {maxd:.2e})")
+            results["full_factored"]["allclose_vs_full"] = close
+            results["full_factored"]["max_delta_vs_full"] = maxd
+    except Exception as e:  # noqa: BLE001 — report unsupported prototype
+        log(f"full_factored: UNSUPPORTED ({type(e).__name__}: "
+            f"{str(e)[:300]})")
+        results["full_factored"] = {"unsupported": True}
 
     order = ["loop_only", "oh_only", "no_scatter", "no_adam", "full"]
     split = {}
