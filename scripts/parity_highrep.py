@@ -82,6 +82,14 @@ POINTS = {
     "P12": dict(n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
                 num_epochs=12, K=1, strategy="user_similarity"),
 }
+# G-series: every remaining runnable generation mode at the r=100 bar
+# (base and structured are P1/P5; the reference's "graph" mode cannot
+# run — see tests/test_reference_parity.py).
+for _mode in ("low_rank", "svd", "correlated", "social", "temporal",
+              "hierarchical", "gmm", "clustered"):
+    POINTS[f"G_{_mode}"] = dict(
+        n=60, m=60, d=3, p=0.4, s=5.0, lr=1e-2, weight_decay=1e-5,
+        num_epochs=12, K=1, generation=_mode)
 KEYS = ("gt_accuracy", "accuracy", "reconstruction_error_scaled",
         "pearson_corr", "spearman_corr", "alpha")
 
