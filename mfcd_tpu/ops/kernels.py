@@ -351,7 +351,10 @@ def pallas_epoch_supported(n: int, m: int, d: int, num_batches: int,
     state_bytes = 3 * (padded(d, n) + padded(d, m))
     stream_bytes = 2 * 4 * 512 * 1024  # 4 arrays x 512KB chunks, x2 buffers
     onehot_bytes = 3 * padded(batch_size, max(n, m))
-    total = state_bytes + stream_bytes + onehot_bytes
+    # The split-3 one-hot matmuls (_dot3) materialize hi/mid/lo copies of
+    # each table operand alongside the original during the dots.
+    split_bytes = 3 * (padded(d, n) + padded(d, m))
+    total = state_bytes + stream_bytes + onehot_bytes + split_bytes
     return total < 12 * 1024 * 1024  # leave headroom in ~16MB VMEM
 
 

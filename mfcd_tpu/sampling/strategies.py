@@ -408,8 +408,8 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
     return cands, resolved
 
 
-def cascade_resolve(u, i_all, j_all, m: int, iters: int = 10,
-                    exclude=None, exclude_valid=None):
+def cascade_resolve(u, i_all, j_all, m: int,
+                    exclude=None, exclude_valid=None, max_passes=None):
     """Resolve the neighbor cascade exactly as the reference's sequential
     loop would: for each attempt in order, the FIRST rank whose (u, i, j)
     is not already accepted wins (``generation_data.py:294-316``).
@@ -426,64 +426,80 @@ def cascade_resolve(u, i_all, j_all, m: int, iters: int = 10,
                               minimum tag among participating candidates
                               with the same key
 
-    Iterating (participation -> fresh scatter-min table -> wins) from
-    all-participate converges to that fixpoint: pass 1 already fixes
-    every attempt whose rank-0 candidate is globally fresh, and each
-    later pass corrects the attempts whose win was invalidated by a
-    smaller-tag (earlier-attempt, deeper-rank) accept.  ``iters=10`` was
-    exact vs a sequential oracle on 60/60 adversarially duplicate-heavy
-    trials (domains as small as 210 keys for ~2000 candidates — far
-    denser than any real config); ``tests/test_sampling.py`` pins it.
-    Keys colliding in the hash lose their slot — the same documented
-    uniform thinning as ``dedup._hashed_winners``, absorbed by the
-    attempt margin.
+    Iterating (participation -> scatter-min table -> wins) from
+    all-participate and LOOPING UNTIL STABLE converges to exactly that
+    fixpoint: an attempt's wins depend only on smaller tags, so once
+    attempts < k hold their sequential values one more pass fixes
+    attempt k — the frontier advances at least one attempt per pass and
+    the stable point is the sequential solution.  A fixed pass count is
+    NOT enough: duplicate-overlap CHAINS (attempt k's rank-1 key ==
+    attempt k+1's rank-0 key, repeated) propagate corrections only one
+    attempt per pass, so the loop runs data-dependently (typically 2-5
+    passes; bounded by A).  ``tests/test_sampling.py`` pins equality
+    with a sequential oracle, including adversarial chains and exclude
+    sets.
+
+    Key identity is approximated by a 32-bit mixed hash of (u, i, j)
+    (never unpacked — no n*m*m packing overflow at any scale); distinct
+    keys colliding lose their slot, the same documented uniform thinning
+    as ``dedup._hashed_winners``, absorbed by the attempt margin.  The
+    table is sized by attempts + exclude rows so a large exclude set
+    (the 500-label test top-up excludes the whole main draw) cannot
+    poison a meaningful slot fraction.  Exclude entries pre-seed the
+    table ONCE (tag -1, always winning their slot): an excluded
+    candidate cascades to the attempt's next neighbor, mirroring the
+    reference's ``t not in exclude`` check.
     """
     nb, a = i_all.shape
     valid = i_all != j_all
-    packed = (u[None, :] * m + i_all) * m + j_all
-    bits = min(max((16 * a - 1).bit_length(), 20), 24)
+    ex_rows = 0 if exclude is None else int(exclude.shape[0])
+    bits = min(max((16 * (a + ex_rows) - 1).bit_length(), 20), 25)
     h = 1 << bits
 
-    def hash_slot(p):
-        return (
-            (p.astype(jnp.uint32) * jnp.uint32(2654435761))
-            >> jnp.uint32(32 - bits)
-        ).astype(jnp.int32)
+    def mix_slot(uu, ii, jj):
+        # Multiplicative mix of the triple; only the slot is ever used,
+        # so 32-bit wraparound is part of the hash, not an overflow bug.
+        s = uu.astype(jnp.uint32) * jnp.uint32(2654435761)
+        s = (s ^ ii.astype(jnp.uint32)) * jnp.uint32(2246822519)
+        s = (s ^ jj.astype(jnp.uint32)) * jnp.uint32(3266489917)
+        return (s >> jnp.uint32(32 - bits)).astype(jnp.int32)
 
-    slot_all = hash_slot(packed)
+    slot_all = mix_slot(u[None, :], i_all, j_all)
     tags = (jnp.arange(a, dtype=jnp.int32)[None, :] * nb
             + jnp.arange(nb, dtype=jnp.int32)[:, None])
     sentinel = jnp.iinfo(jnp.int32).max
 
-    # Exclude entries always win their slot (tag -1): an excluded
-    # candidate cascades to the attempt's next neighbor, mirroring the
-    # reference's ``t not in exclude`` check.
+    base_table = jnp.full((h,), sentinel, jnp.int32)
     if exclude is not None:
         ex = exclude.astype(jnp.int32)
-        ex_packed = (ex[:, 0] * m + ex[:, 1]) * m + ex[:, 2]
-        ex_slot = hash_slot(ex_packed)
+        ex_slot = mix_slot(ex[:, 0], ex[:, 1], ex[:, 2])
         if exclude_valid is not None:
             ex_slot = jnp.where(exclude_valid, ex_slot, h)
-    else:
-        ex_slot = None
+        base_table = base_table.at[ex_slot].min(jnp.int32(-1), mode="drop")
 
-    def one_pass(win, _):
+    def one_pass(win):
         earlier_win = jnp.cumsum(win, axis=0) - win.astype(jnp.int32)
         participate = valid & (earlier_win == 0)
         slot = jnp.where(participate, slot_all, h)
-        table = jnp.full((h,), sentinel, jnp.int32)
-        if ex_slot is not None:
-            table = table.at[ex_slot].min(jnp.int32(-1), mode="drop")
-        table = table.at[slot.reshape(-1)].min(
+        table = base_table.at[slot.reshape(-1)].min(
             tags.reshape(-1), mode="drop")
-        win = participate & (
-            table[jnp.minimum(slot, h - 1)] == tags)
-        return win, None
+        return participate & (table[jnp.minimum(slot, h - 1)] == tags)
+
+    cap = a if max_passes is None else max_passes
+
+    def cond(carry):
+        prev, cur, it = carry
+        return jnp.any(prev != cur) & (it < cap)
+
+    def body(carry):
+        _, cur, it = carry
+        return cur, one_pass(cur), it + 1
 
     win0 = jnp.zeros((nb, a), bool)
-    win, _ = jax.lax.scan(one_pass, win0, None, length=iters)
-    # Keep only each attempt's first win (exactly the fixpoint's
-    # participation rule; a no-op once converged).
+    _, win, _ = jax.lax.while_loop(
+        cond, body, (win0, one_pass(win0), jnp.int32(1)))
+    # Keep only each attempt's first win (the fixpoint's participation
+    # rule; a no-op once converged — pure safety under the pass cap).
     first = (jnp.cumsum(win, axis=0) - win.astype(jnp.int32)) == 0
     return win & first
 

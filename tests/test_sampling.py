@@ -393,3 +393,56 @@ def test_user_similarity_cascade_matches_sequential_oracle():
         got = np.asarray(cascade_resolve(
             jnp.asarray(u), jnp.asarray(i_all), jnp.asarray(j_all), m))
         np.testing.assert_array_equal(got, oracle(u, i_all, j_all))
+
+
+def test_user_similarity_cascade_chained_overlap():
+    """Adversarial duplicate-overlap CHAIN: attempt k's rank-1 key equals
+    attempt k+1's rank-0 key for 40 consecutive attempts.  Sequentially,
+    every attempt accepts at rank 0; a fixed-pass fixpoint iteration
+    propagates only ~one attempt per pass along the chain (code-review
+    finding, round 4), so the loop must run until stable."""
+    from mfcd_tpu.sampling.strategies import cascade_resolve
+
+    a, m = 40, 100
+    u = np.zeros(a, np.int32)
+    i_all = np.zeros((2, a), np.int32)
+    j_all = np.zeros((2, a), np.int32)
+    # rank-0 of attempt k: (0, k, k+50); rank-1 of attempt k: rank-0 key
+    # of attempt k+1.
+    for k in range(a):
+        i_all[0, k] = k
+        j_all[0, k] = 50 + k if 50 + k < m else 50
+        i_all[1, k] = (k + 1) % a
+        j_all[1, k] = 50 + ((k + 1) % a) if 50 + ((k + 1) % a) < m else 50
+    got = np.asarray(cascade_resolve(
+        jnp.asarray(u), jnp.asarray(i_all), jnp.asarray(j_all), m))
+    # Every attempt wins at rank 0 (all rank-0 keys distinct).
+    assert got[0].all() and not got[1].any()
+
+
+def test_user_similarity_cascade_exclude_semantics():
+    """Excluded keys must CASCADE the attempt to its next rank (the
+    reference's ``t not in exclude`` check), never win, and respect
+    exclude_valid masking."""
+    from mfcd_tpu.sampling.strategies import cascade_resolve
+
+    m = 50
+    u = np.array([3, 4, 5], np.int32)
+    i_all = np.array([[1, 2, 3],
+                      [7, 8, 9]], np.int32)
+    j_all = np.array([[11, 12, 13],
+                      [17, 18, 19]], np.int32)
+    # Exclude attempt 0's rank-0 key and attempt 1's rank-0 key — but the
+    # latter's exclude row is masked invalid, so it must still win.
+    exclude = np.array([[3, 1, 11], [4, 2, 12], [9, 9, 9]], np.int32)
+    exclude_valid = np.array([True, False, True])
+    got = np.asarray(cascade_resolve(
+        jnp.asarray(u), jnp.asarray(i_all), jnp.asarray(j_all), m,
+        exclude=jnp.asarray(exclude),
+        exclude_valid=jnp.asarray(exclude_valid)))
+    # attempt 0: rank 0 excluded -> wins at rank 1
+    # attempt 1: exclude row invalid -> wins at rank 0
+    # attempt 2: untouched -> wins at rank 0
+    want = np.array([[False, True, True],
+                     [True, False, False]])
+    np.testing.assert_array_equal(got, want)
