@@ -158,6 +158,16 @@ def _variant_kernel(
                 acc = term if acc is None else acc + term
             return acc
 
+    # Loop-invariant one-hot iotas, hoisted out of the fori_loop body for
+    # the "hoist" variants (measures whether Mosaic's LICM already does
+    # this; the production kernel regenerates them every step).
+    hoist = "hoist" in stages or "hoist_fsel" in stages
+    if hoist:
+        iota_n_h = jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1)
+        iota_m_h = (iota_n_h if m == n
+                    else jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1))
+        iota_bs_h = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+
     def body(tl, loss_sum):
         t = base + tl
         y = stream_refs[0][0, tl, :]
@@ -166,7 +176,9 @@ def _variant_kernel(
         idx_j = (y >> (bits_n + bits_m)) & ((1 << bits_m) - 1)
         k = (y >> (bits_n + 2 * bits_m)) & ((1 << bits_z) - 1)
         z = (k.astype(_F32) / jnp.float32(denom)).reshape(1, bs)
-        slots = t * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        lane_iota = (iota_bs_h if hoist
+                     else jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1))
+        slots = t * bs + lane_iota
         mask = (slots < count).astype(_F32)
 
         if "oh" not in stages:
@@ -176,11 +188,23 @@ def _variant_kernel(
                     + jnp.sum(idx_i.astype(_F32)) * 1e-9
                     + jnp.sum(idx_j.astype(_F32)) * 1e-9)
 
-        oh_u = (jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1)
-                == idx_u[:, None]).astype(oh_dtype)
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1)
-        oh_d = ((iota_m == idx_i[:, None]).astype(oh_dtype)
-                - (iota_m == idx_j[:, None]).astype(oh_dtype))
+        iota_n = (iota_n_h if hoist
+                  else jax.lax.broadcasted_iota(jnp.int32, (bs, n), 1))
+        iota_m = (iota_m_h if hoist
+                  else jax.lax.broadcasted_iota(jnp.int32, (bs, m), 1))
+        oh_u = (iota_n == idx_u[:, None]).astype(oh_dtype)
+        if "hoist_fsel" in stages:
+            # Fused signed select: 2 compares + 2 selects instead of
+            # 2 compares + 2 converts + 1 subtract.  Differs from the
+            # subtract form only at i == j (gives +1 instead of 0), which
+            # the samplers exclude on valid rows.
+            oh_d = jnp.where(
+                iota_m == idx_i[:, None], jnp.float32(1.0),
+                jnp.where(iota_m == idx_j[:, None], jnp.float32(-1.0),
+                          jnp.float32(0.0))).astype(oh_dtype)
+        else:
+            oh_d = ((iota_m == idx_i[:, None]).astype(oh_dtype)
+                    - (iota_m == idx_j[:, None]).astype(oh_dtype))
 
         if "contract" not in stages:
             # Keep both one-hots live: a masked row-sum is ~free next to
@@ -505,6 +529,12 @@ VARIANTS = {
     "full_split3": (("oh", "contract", "scatter", "adam", "split3"), False),
     "full_split3d": (
         ("oh", "contract", "scatter", "adam", "split3d"), False),
+    "oh_only_hoist": (("oh", "hoist"), False),
+    "full_split3d_hoist": (
+        ("oh", "contract", "scatter", "adam", "split3d", "hoist"), False),
+    "full_split3d_hfsel": (
+        ("oh", "contract", "scatter", "adam", "split3d", "hoist",
+         "hoist_fsel"), False),
 }
 
 
@@ -622,6 +652,14 @@ def main():
                 final_states["full"], final_states[variant]))
             log(f"{variant} final U state bit-exact vs full: "
                 f"{bitexact[variant]}")
+    # Hoist variants change instruction scheduling only — they must be
+    # bit-exact vs the production split3d scheme.
+    for variant in ("full_split3d_hoist", "full_split3d_hfsel"):
+        if "full_split3d" in final_states and variant in final_states:
+            bitexact[variant + "_vs_split3d"] = bool(np.array_equal(
+                final_states["full_split3d"], final_states[variant]))
+            log(f"{variant} final U state bit-exact vs full_split3d: "
+                f"{bitexact[variant + '_vs_split3d']}")
     log(f"stage deltas (us/run-step): {split}")
     print(json.dumps({"variants": results, "stage_deltas_us": split,
                       "bitexact_vs_full": bitexact,
