@@ -17,6 +17,18 @@ remainder.  All variants execute the same fori_loop trip counts.
   oh_only     : oh build + a trivial reduction of the one-hots
   loop_only   : loop + stream read + unpack only (floor)
 
+On-chip verdicts for the one-hot build reworks (2026-08-19, bench shape,
+all vs production full_split3d at 1.325 us/run-step):
+
+  - hoisting the loop-invariant iotas out of the fori_loop: SLOWER
+    (1.395; oh_only_hoist 0.936 vs oh_only 0.866) — Mosaic
+    rematerializes iota generation essentially for free inside the loop,
+    and the hoisted [bs, n] values add VMEM/register pressure instead;
+  - fused signed select for oh_d (2 cmps + 2 sels vs 2 cmps + 2 converts
+    + 1 sub): 1.315 — under 1%, inside session noise.  Both REJECTED;
+    the production kernel keeps the straightforward in-loop build.
+  - factored two-level one-hot: see _factored_kernel below (REJECTED).
+
 Differences between adjacent rows estimate each stage's cost.  Stage
 times are per-epoch for the canonical bench bucket (R=8 runs, n=m=1000,
 d=2, p=0.2 -> 1250 batches of 64).
