@@ -295,9 +295,13 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
 
 # === USER SIMILARITY (reference ``generation_data.py:251-338``) ==========
 
-# Candidate rows per streamed chunk of the user_similarity sampler; the
-# live top-set masks are [_US_CHUNK, m] (~40MB of bools at m=10k).
-_US_CHUNK = 4096
+# Element budget for the per-rank [chunk, tk] index buffers; attempts are
+# streamed in chunks only when a single chunk would exceed it (at the
+# canonical n=m=1000 config tk=30, so chunks only appear past ~500k
+# attempts).  _US_CHUNK_MIN floors the chunk size so the chunk count
+# stays bounded for huge tk.
+_US_CHUNK_ELEMS = 16 * 1024 * 1024
+_US_CHUNK_MIN = 4096
 
 def propose_user_similarity(key, x, m_draw, num_triplets: int,
                             exclude=None, exclude_valid=None):
@@ -350,34 +354,42 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
     a = m_draw  # attempts
     u = jax.random.randint(ku, (a,), 0, n)
 
-    def masked_uniform(kk, mask):
+    def masked_uniform_pos(kk, mask):
+        """Uniform position among the True entries of ``mask`` [rows, tk]."""
         logits = jnp.where(mask, 0.0, -1e30)
         return jax.random.categorical(kk, logits, axis=-1).astype(jnp.int32)
 
-    # Candidate generation: [nb, A] per-rank i/j.  The top-set membership
-    # masks are [chunk, m]: the attempt axis is streamed through lax.map
-    # and the rank axis through an inner lax.map, so live memory stays
-    # O(chunk * m) regardless of A and nb.
-    chunk = min(_US_CHUNK, a)
+    # Candidate generation: [nb, A] per-rank i/j, entirely in TOP-SET INDEX
+    # space.  top(u) \ top(v) is enumerated as "positions of tk_u whose item
+    # is not a member of top(v)" — two [rows, tk] membership gathers from
+    # the global [n, m] mask instead of the [rows, m] set-difference masks
+    # of the pre-round-5 design (tk/m ~ 3% of the bool work at the
+    # canonical config; uniform over positions == uniform over the
+    # difference set because tk_u enumerates top(u) exactly, so the
+    # accepted mixture is unchanged).  The rank axis is streamed through
+    # lax.map; attempts are chunked only when [A, tk] would exceed the
+    # element budget, so the canonical config compiles a single flat map.
+    chunk = min(a, max(_US_CHUNK_MIN, _US_CHUNK_ELEMS // max(top_k_items, 1)))
     pad = (-a) % chunk
     nchunks = (a + pad) // chunk
     u_p = jnp.pad(u, (0, pad)) if pad else u
 
     def chunk_body(args):
         kk_c, u_c = args
-        mask_u = topk_mask[u_c]                                # [chunk, m]
         tk_u = topk_idx[u_c]                                   # [chunk, tk]
 
         def rank_body(rargs):
             kk_r, r = rargs
             kki, kkj, kkf = jax.random.split(kk_r, 3)
-            v_c = neighbors[u_c, r]
-            mask_v = topk_mask[v_c]
-            only_u = mask_u & ~mask_v
-            only_v = mask_v & ~mask_u
+            v_c = neighbors[u_c, r]                            # [chunk]
+            tk_v = topk_idx[v_c]                               # [chunk, tk]
+            only_u = ~topk_mask[v_c[:, None], tk_u]            # [chunk, tk]
+            only_v = ~topk_mask[u_c[:, None], tk_v]
             have = jnp.any(only_u, axis=1) & jnp.any(only_v, axis=1)
-            i_diff = masked_uniform(kki, only_u)
-            j_diff = masked_uniform(kkj, only_v)
+            pi = masked_uniform_pos(kki, only_u)
+            pj = masked_uniform_pos(kkj, only_v)
+            i_diff = jnp.take_along_axis(tk_u, pi[:, None], axis=1)[:, 0]
+            j_diff = jnp.take_along_axis(tk_v, pj[:, None], axis=1)[:, 0]
             pa, pb = _distinct_pos(kkf, u_c.shape[0], top_k_items)
             i_fb = jnp.take_along_axis(tk_u, pa[:, None], axis=1)[:, 0]
             j_fb = jnp.take_along_axis(tk_u, pb[:, None], axis=1)[:, 0]
@@ -390,12 +402,17 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
             (jax.random.split(kk_c, num_neighbors),
              jnp.arange(num_neighbors, dtype=jnp.int32)))
 
-    i_all, j_all = jax.lax.map(
-        chunk_body,
-        (jax.random.split(kc, nchunks), u_p.reshape(nchunks, chunk)))
-    # [nchunks, nb, chunk] -> [nb, A]
-    i_all = jnp.transpose(i_all, (1, 0, 2)).reshape(num_neighbors, -1)[:, :a]
-    j_all = jnp.transpose(j_all, (1, 0, 2)).reshape(num_neighbors, -1)[:, :a]
+    if nchunks == 1:
+        i_all, j_all = chunk_body((kc, u_p))                   # [nb, A]
+    else:
+        i_all, j_all = jax.lax.map(
+            chunk_body,
+            (jax.random.split(kc, nchunks), u_p.reshape(nchunks, chunk)))
+        # [nchunks, nb, chunk] -> [nb, A]
+        i_all = jnp.transpose(i_all, (1, 0, 2)).reshape(num_neighbors, -1)
+        j_all = jnp.transpose(j_all, (1, 0, 2)).reshape(num_neighbors, -1)
+    i_all = i_all[:, :a]
+    j_all = j_all[:, :a]
 
     wins = cascade_resolve(u, i_all, j_all, m,
                            exclude=exclude, exclude_valid=exclude_valid)
@@ -477,9 +494,17 @@ def cascade_resolve(u, i_all, j_all, m: int,
             ex_slot = jnp.where(exclude_valid, ex_slot, h)
         base_table = base_table.at[ex_slot].min(jnp.int32(-1), mode="drop")
 
+    def _any_earlier(win):
+        # "Some rank r' < r of the same attempt won": exclusive or-scan
+        # down the rank axis.  associative_scan lowers to log2(nb)
+        # shifted ORs — NOT the reduce_window a cumsum becomes, which
+        # XLA's constant folder ground through at [nb, A] x vmap scale
+        # (>1 s/instance alarms in the round-4 dryrun).
+        inc = jax.lax.associative_scan(jnp.logical_or, win, axis=0)
+        return jnp.concatenate([jnp.zeros_like(win[:1]), inc[:-1]], axis=0)
+
     def one_pass(win):
-        earlier_win = jnp.cumsum(win, axis=0) - win.astype(jnp.int32)
-        participate = valid & (earlier_win == 0)
+        participate = valid & ~_any_earlier(win)
         slot = jnp.where(participate, slot_all, h)
         table = base_table.at[slot.reshape(-1)].min(
             tags.reshape(-1), mode="drop")
@@ -495,13 +520,16 @@ def cascade_resolve(u, i_all, j_all, m: int,
         _, cur, it = carry
         return cur, one_pass(cur), it + 1
 
+    # The first pass runs INSIDE the loop (all-True prev forces one
+    # iteration): hoisted out, one_pass(zeros) is a compile-time constant
+    # and XLA's constant folder executes the whole pass per vmap element
+    # at compile time (the round-4 compile-cliff signature).
     win0 = jnp.zeros((nb, a), bool)
     _, win, _ = jax.lax.while_loop(
-        cond, body, (win0, one_pass(win0), jnp.int32(1)))
+        cond, body, (jnp.ones((nb, a), bool), win0, jnp.int32(0)))
     # Keep only each attempt's first win (the fixpoint's participation
     # rule; a no-op once converged — pure safety under the pass cap).
-    first = (jnp.cumsum(win, axis=0) - win.astype(jnp.int32)) == 0
-    return win & first
+    return win & ~_any_earlier(win)
 
 
 # === Overdraw planning (host-side, static) ================================

@@ -236,12 +236,13 @@ def test_user_similarity_chunking_same_constraints():
 
     x = generate_x(jax.random.key(5), 60, 80, 3, "base")
     key = jax.random.key(9)
-    old_chunk = S._US_CHUNK
+    old = (S._US_CHUNK_MIN, S._US_CHUNK_ELEMS)
     try:
-        S._US_CHUNK = 128  # force 3 padded chunks for 300 attempts
+        # Force 3 padded chunks for 300 attempts.
+        S._US_CHUNK_MIN, S._US_CHUNK_ELEMS = 128, 1
         cands, valid = S.propose_user_similarity(key, x, 300, 100)
     finally:
-        S._US_CHUNK = old_chunk
+        S._US_CHUNK_MIN, S._US_CHUNK_ELEMS = old
     cands = np.asarray(cands)
     valid = np.asarray(valid)
     assert cands.shape == (300, 3) and valid.shape == (300,)
