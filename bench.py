@@ -56,17 +56,19 @@ def bench_sweep():
     })
 
 
-def time_k10():
-    """Time the reference's heavy cell-5 configuration (K=10 hard labels,
-    ~1M padded train rows) on the Pallas path vs the jnp fallback — the
-    hot loop ``structure.py:845-852`` at its most demanding shape.
+def time_kn(k: int):
+    """Time the reference's heavy cell-5 configuration at label redundancy
+    ``K=k`` (hard labels: the K-multiplied dataset of ``structure.py:
+    516-518``, so K=10 is ~1M and K=50 ~4M padded train rows) on the
+    Pallas path vs the jnp fallback — the hot loop ``structure.py:845-852``
+    at its most demanding shapes.
 
     Returns (runs_per_hour_pallas, speedup_vs_jnp)."""
     from mfcd_tpu.core.config import RunConfig
     from mfcd_tpu.sweep.batched import run_bucket
 
     cfg = RunConfig(n=1000, m=1000, d=2, p=0.2, s=5.0, lr=1e-3,
-                    weight_decay=5e-6, num_epochs=30, reps=2, K=10)
+                    weight_decay=5e-6, num_epochs=30, reps=2, K=k)
     rows = [{"s": 5.0, "lr": 1e-3, "weight_decay": 5e-6}]
     timings = {}
     for use_pallas in (True, False):
@@ -74,9 +76,13 @@ def time_k10():
         t0 = time.time()
         out = run_bucket(cfg, rows, [0], seed=321, use_pallas=use_pallas)
         timings[use_pallas] = (time.time() - t0) / cfg.reps
-        log(f"K=10 use_pallas={use_pallas}: {timings[use_pallas]:.2f}s/run "
+        log(f"K={k} use_pallas={use_pallas}: {timings[use_pallas]:.2f}s/run "
             f"acc={[round(float(a), 3) for a in out[0]['accuracy']]}")
     return 3600.0 / timings[True], timings[False] / timings[True]
+
+
+def time_k10():
+    return time_kn(10)
 
 
 def bench_k10():
@@ -84,6 +90,20 @@ def bench_k10():
     runs_per_hour, speedup = time_k10()
     emit({
         "metric": "k10_full_training_runs_per_hour_per_chip_pallas",
+        "value": round(runs_per_hour, 1),
+        "unit": "runs/hour/chip",
+        "vs_baseline": round(runs_per_hour / 125.0, 3),
+        "pallas_speedup_vs_jnp": round(speedup, 2),
+    })
+
+
+def bench_k50():
+    """--k50: cell 5's heaviest bucket (K=50 vote expansion, ~4M padded
+    train rows + 50x-expanded streamed eval; reference ``Runs.ipynb``
+    cell 5, ``structure.py:516-518``) as its own graded metric."""
+    runs_per_hour, speedup = time_kn(50)
+    emit({
+        "metric": "k50_full_training_runs_per_hour_per_chip_pallas",
         "value": round(runs_per_hour, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour / 125.0, 3),
@@ -336,6 +356,8 @@ def main():
         metric = "sweep_runs_per_hour_per_chip_1000x1000_sxwd"
     elif "--k10" in sys.argv:
         metric = "k10_full_training_runs_per_hour_per_chip_pallas"
+    elif "--k50" in sys.argv:
+        metric = "k50_full_training_runs_per_hour_per_chip_pallas"
     elif quick:
         metric = "quick_smoke_runs_per_hour_per_chip_100x100"
     else:
@@ -367,6 +389,9 @@ def main():
         return
     if "--k10" in sys.argv:
         bench_k10()
+        return
+    if "--k50" in sys.argv:
+        bench_k50()
         return
 
     import jax

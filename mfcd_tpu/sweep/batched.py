@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from typing import Any, Dict, List, Optional, Sequence
 
 import jax
@@ -34,6 +35,44 @@ from mfcd_tpu.sweep.engine import (
     default_use_pallas,
 )
 from mfcd_tpu.utils.io import append_results, reset_save_path
+
+
+class _SweepProf:
+    """Opt-in (``MFCD_SWEEP_PROF=1``) wall-clock split of a sweep's phases.
+
+    The whole-sweep throughput gap (VERDICT r4: faithful cell 3 at 8.7k
+    runs/hr vs 55.4k steady) lives OUTSIDE the compiled programs; this
+    accounts every host-side second of ``parameter_scan_fast`` into
+    dispatch (tracing + compile + enqueue), wait (device execution +
+    host transfer), export (schema assembly), and persist (pickle), so
+    the gap can be attacked by measurement instead of guesswork.
+    """
+
+    enabled = os.environ.get("MFCD_SWEEP_PROF") == "1"
+    times: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
+
+    @classmethod
+    def add(cls, phase: str, dt: float) -> None:
+        cls.times[phase] = cls.times.get(phase, 0.0) + dt
+        cls.counts[phase] = cls.counts.get(phase, 0) + 1
+
+    @classmethod
+    def report(cls, total_s: float, runs: int) -> None:
+        if not cls.times:
+            return
+        print(f"[sweep-prof] total {total_s:.1f}s for {runs} runs "
+              f"({1e3 * total_s / max(runs, 1):.1f} ms/run)", file=sys.stderr)
+        accounted = 0.0
+        for phase in sorted(cls.times, key=cls.times.get, reverse=True):
+            t = cls.times[phase]
+            accounted += t
+            print(f"[sweep-prof]   {phase:10s} {t:8.1f}s "
+                  f"({1e3 * t / max(runs, 1):7.1f} ms/run, "
+                  f"{cls.counts[phase]} calls)", file=sys.stderr)
+        print(f"[sweep-prof]   {'other':10s} {total_s - accounted:8.1f}s",
+              file=sys.stderr)
+        cls.times, cls.counts = {}, {}
 
 
 def _is_oom(msg: str) -> bool:
@@ -197,15 +236,22 @@ class BucketFuture:
         # order, at the same call site, with the same classification —
         # in particular an OOM at dispatch must reach the caller's
         # bisector from collect(), not escape at the dispatch call site.
+        t0 = time.time() if _SweepProf.enabled else 0.0
         try:
             self._out = dispatch()
         except (jax.errors.JaxRuntimeError, ValueError) as e:
             self._out = None
             self._init_err = e
+        if _SweepProf.enabled:
+            _SweepProf.add("dispatch", time.time() - t0)
 
     def collect(self) -> List[Dict[str, Any]]:
         host = self._collect_host()
-        return self._post(host)
+        t0 = time.time() if _SweepProf.enabled else 0.0
+        out = self._post(host)
+        if _SweepProf.enabled:
+            _SweepProf.add("export", time.time() - t0)
+        return out
 
     def _collect_host(self):
         last_err = None
@@ -229,7 +275,11 @@ class BucketFuture:
                 # for every leaf before blocking, so the ~25 result arrays
                 # pay one tunnel round-trip instead of one each (~0.45s per
                 # bucket on the axon transport).
-                return jax.device_get(dict(self._out))
+                t0 = time.time() if _SweepProf.enabled else 0.0
+                host = jax.device_get(dict(self._out))
+                if _SweepProf.enabled:
+                    _SweepProf.add("wait", time.time() - t0)
+                return host
             except (jax.errors.JaxRuntimeError, ValueError) as e:
                 # ValueError included: backend failures during tracing
                 # (e.g. a FAILED_PRECONDITION surfacing from a traced
@@ -406,6 +456,8 @@ def parameter_scan_fast(
             reset_save_path(save_path)
 
     slot_results: List[Optional[Dict]] = [None] * len(configs)
+    t_scan0 = time.time()
+    runs_executed = 0
     for _sig, indices in buckets.items():
         indices = [i for i in indices if param_sets[i] not in done]
         if not indices:
@@ -456,11 +508,14 @@ def parameter_scan_fast(
                 # Crash-safe incremental persistence: each completed chunk
                 # lands on disk immediately (bucket-traversal order — the
                 # plotting layer keys off params, not file order).
+                t0 = time.time() if _SweepProf.enabled else 0.0
                 append_results(
                     save_path,
                     [{"params": param_sets[i], "results": res}
                      for i, res in zip(chunk, outs)],
                 )
+                if _SweepProf.enabled:
+                    _SweepProf.add("persist", time.time() - t0)
 
         # MFCD_PIPELINE=1: 1-deep software pipeline — dispatch chunk k+1
         # (async XLA execution starts immediately) BEFORE collecting and
@@ -524,7 +579,10 @@ def parameter_scan_fast(
                 _store(p_chunk, outs)
         if pending is not None:
             _store(pending[0], _collect_or_bisect(*pending))
+        runs_executed += sum(configs[i].reps for i in indices)
 
+    if _SweepProf.enabled:
+        _SweepProf.report(time.time() - t_scan0, runs_executed)
     if save_path:
         return []
     return [

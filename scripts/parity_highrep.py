@@ -99,6 +99,10 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--point", default="P1", choices=sorted(POINTS))
     ap.add_argument("--out", default="/tmp/parity_highrep.json")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="our side's base PRNG seed — pass a fresh value "
+                         "for an independent re-draw (the reference side "
+                         "is always fresh: it runs on torch's global RNG)")
     args = ap.parse_args(argv)
     point = POINTS[args.point]
 
@@ -115,7 +119,7 @@ def main(argv=None):
     import mfcd_tpu
 
     t0 = time.time()
-    our_out = mfcd_tpu.run_experiment(reps=args.reps, **point)
+    our_out = mfcd_tpu.run_experiment(reps=args.reps, seed=args.seed, **point)
     t_ours = time.time() - t0
     print(f"framework: {args.reps} reps in {t_ours:.0f}s", flush=True)
 
@@ -149,6 +153,7 @@ def main(argv=None):
         "protocol_point": args.point,
         "config": point,
         "reps_per_side": args.reps,
+        "our_seed": args.seed,
         "metrics": rows,
         "worst_welch_z": round(worst, 2),
         "pass": worst < 4.0,

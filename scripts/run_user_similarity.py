@@ -24,6 +24,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="Data_final/user_similarity_n1000.pkl")
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--psweep", action="store_true",
+                    help="sweep p in {0.05, 0.1, 0.2} instead of the single "
+                         "canonical p=0.2 config (round-5 refresh of the "
+                         "production artifact under the cascade sampler)")
     args = ap.parse_args(argv)
 
     # The cache-health canary must be the FIRST device op: even trivial
@@ -36,16 +40,17 @@ def main(argv=None):
     from mfcd_tpu.sweep.batched import parameter_scan_fast
 
     n = m = int(1000 * args.scale) or 10
+    p = [0.05, 0.1, 0.2] if args.psweep else 0.2
     t0 = time.time()
     results = parameter_scan_fast(
-        n=n, m=m, d=2, p=0.2, s=5.0, K=1, lr=1e-3, weight_decay=1e-5,
+        n=n, m=m, d=2, p=p, s=5.0, K=1, lr=1e-3, weight_decay=1e-5,
         num_epochs=30, reps=3, strategy="user_similarity", soft_label=True,
         save_path=args.out, save_every=1, resume=True,
     )
     dt = time.time() - t0
     res = pickle.load(open(args.out, "rb"))
-    accs = res[0]["results"]["accuracy"]
-    gt = res[0]["results"]["gt_accuracy"]
+    accs = res[-1]["results"]["accuracy"]
+    gt = res[-1]["results"]["gt_accuracy"]
     print(f"user_similarity n={n}: {len(res)} config(s), "
           f"acc={[round(a, 3) for a in accs]} "
           f"gt={[round(a, 3) for a in gt]} in {dt:.1f}s", file=sys.stderr)

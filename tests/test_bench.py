@@ -52,6 +52,7 @@ def test_degraded_metric_name_matches_requested_mode(monkeypatch):
     for argv, expect in [
         (["bench.py", "--sweep"], "sweep_runs_per_hour_per_chip_1000x1000_sxwd"),
         (["bench.py", "--k10"], "k10_full_training_runs_per_hour_per_chip_pallas"),
+        (["bench.py", "--k50"], "k50_full_training_runs_per_hour_per_chip_pallas"),
         (["bench.py", "--quick"], "quick_smoke_runs_per_hour_per_chip_100x100"),
         (["bench.py"], "full_training_runs_per_hour_per_chip_1000x1000_d2_p0.2"),
     ]:
