@@ -295,13 +295,15 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
 
 # === USER SIMILARITY (reference ``generation_data.py:251-338``) ==========
 
-# Element budget for the per-rank [chunk, tk] index buffers; attempts are
-# streamed in chunks only when a single chunk would exceed it (at the
-# canonical n=m=1000 config tk=30, so chunks only appear past ~500k
-# attempts).  _US_CHUNK_MIN floors the chunk size so the chunk count
-# stays bounded for huge tk.
-_US_CHUNK_ELEMS = 16 * 1024 * 1024
-_US_CHUNK_MIN = 4096
+# Element budget for the per-rank [blk, tk, tk] equality tensors; the
+# attempt axis is processed in BLOCKS whose sequential loop EARLY-EXITS
+# once the triplet budget is filled (exact: cascade wins for attempt a
+# depend only on attempts < a, so skipped trailing blocks cannot change
+# the accepted prefix).  _US_BLOCK_MIN floors the block size so the
+# block count stays bounded for huge tk.  At the canonical n=m=1000
+# config (tk=30) blocks are 32,768 attempts.
+_US_BLOCK_ELEMS = 32768 * 30 * 30
+_US_BLOCK_MIN = 1024
 
 def propose_user_similarity(key, x, m_draw, num_triplets: int,
                             exclude=None, exclude_valid=None):
@@ -321,17 +323,29 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
 
     This sampler generates a candidate per (attempt, rank) — ``m_draw``
     counts ATTEMPTS — and resolves the cascade to the exact sequential
-    fixpoint with :func:`cascade_resolve` (oracle-pinned).  Returned rows
-    are each attempt's accepted candidate (already globally unique and
-    exclude-free), so the downstream dedup pass is an order-preserving
-    no-op.  ``exclude`` pre-seeds the cascade's hash table so an excluded
-    candidate CASCADES to the next neighbor exactly like the reference's
+    fixpoint (:func:`_cascade_fixpoint`, oracle-pinned via
+    :func:`cascade_resolve`).  Returned rows are each attempt's accepted
+    candidate (already globally unique and exclude-free), so the
+    downstream dedup pass is an order-preserving no-op.  ``exclude``
+    pre-seeds the cascade's hash table so an excluded candidate CASCADES
+    to the next neighbor exactly like the reference's
     ``t not in exclude`` check (``generation_data.py:313``) — this
     matters for the 500-label test top-up, where at small p the top-up
     dominates the test split and an attempt-killing exclude would skew
     it toward shallow-rank (similar-neighbor, close-call) triplets
     (caught by the P12 r=100 certificate: gt_accuracy z=4.6 low before
     this).
+
+    Attempts are processed in BLOCKS (``_US_BLOCK_ELEMS``) in attempt
+    order, threading the accepted-key hash table between blocks, and the
+    block loop EARLY-EXITS once ``num_triplets`` attempts have resolved.
+    This is exact, not approximate: the sequential semantics give attempt
+    a's outcome in terms of attempts < a only, so trailing blocks can
+    neither steal nor add wins inside the accepted prefix the budget
+    keeps (on-chip at the canonical config ~100% of attempts resolve, so
+    roughly half the 2x-overdraw attempt stream is never materialized).
+    Single-block shapes (every parity/test point) take the direct path,
+    whose RNG stream matches the pre-blocking design.
     """
     n, m = x.shape
     num_neighbors = min(20, max(3, num_triplets // n))
@@ -345,10 +359,6 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
     sims = sims - 2.0 * jnp.eye(n)  # exclude self (reference fills diag -1)
     _, neighbors = jax.lax.top_k(sims, num_neighbors)          # [n, nb]
     _, topk_idx = jax.lax.top_k(x, top_k_items)                # [n, tk]
-    topk_mask = jnp.zeros((n, m), dtype=bool)
-    topk_mask = topk_mask.at[
-        jnp.arange(n)[:, None], topk_idx
-    ].set(True)
 
     ku, kc = jax.random.split(key)
     a = m_draw  # attempts
@@ -359,32 +369,27 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
         logits = jnp.where(mask, 0.0, -1e30)
         return jax.random.categorical(kk, logits, axis=-1).astype(jnp.int32)
 
-    # Candidate generation: [nb, A] per-rank i/j, entirely in TOP-SET INDEX
-    # space.  top(u) \ top(v) is enumerated as "positions of tk_u whose item
-    # is not a member of top(v)" — two [rows, tk] membership gathers from
-    # the global [n, m] mask instead of the [rows, m] set-difference masks
-    # of the pre-round-5 design (tk/m ~ 3% of the bool work at the
-    # canonical config; uniform over positions == uniform over the
-    # difference set because tk_u enumerates top(u) exactly, so the
-    # accepted mixture is unchanged).  The rank axis is streamed through
-    # lax.map; attempts are chunked only when [A, tk] would exceed the
-    # element budget, so the canonical config compiles a single flat map.
-    chunk = min(a, max(_US_CHUNK_MIN, _US_CHUNK_ELEMS // max(top_k_items, 1)))
-    pad = (-a) % chunk
-    nchunks = (a + pad) // chunk
-    u_p = jnp.pad(u, (0, pad)) if pad else u
-
-    def chunk_body(args):
-        kk_c, u_c = args
-        tk_u = topk_idx[u_c]                                   # [chunk, tk]
+    # Candidate generation: [nb, blk] per-rank i/j, entirely in TOP-SET
+    # INDEX space.  top(u) \ top(v) is enumerated as "positions of tk_u
+    # whose item is not a member of top(v)" via a [rows, tk, tk] equality
+    # compare — regular VPU compare work; the gather-based formulation it
+    # replaces ran the membership bits on the TPU's scalar gather path
+    # (4.05 s vs 0.67 s for the candidate stage at the canonical config,
+    # docs/device_r5/user_similarity_split.json, cand_masks_identical:
+    # true).  Uniform over positions == uniform over the difference set
+    # because tk_u enumerates top(u) exactly, so the accepted mixture is
+    # unchanged.  The rank axis is streamed through lax.map.
+    def block_candidates(kk_b, u_c):
+        tk_u = topk_idx[u_c]                                   # [blk, tk]
 
         def rank_body(rargs):
             kk_r, r = rargs
             kki, kkj, kkf = jax.random.split(kk_r, 3)
-            v_c = neighbors[u_c, r]                            # [chunk]
-            tk_v = topk_idx[v_c]                               # [chunk, tk]
-            only_u = ~topk_mask[v_c[:, None], tk_u]            # [chunk, tk]
-            only_v = ~topk_mask[u_c[:, None], tk_v]
+            v_c = neighbors[u_c, r]                            # [blk]
+            tk_v = topk_idx[v_c]                               # [blk, tk]
+            eq = tk_u[:, :, None] == tk_v[:, None, :]          # [blk,tk,tk]
+            only_u = ~jnp.any(eq, axis=2)                      # [blk, tk]
+            only_v = ~jnp.any(eq, axis=1)
             have = jnp.any(only_u, axis=1) & jnp.any(only_v, axis=1)
             pi = masked_uniform_pos(kki, only_u)
             pj = masked_uniform_pos(kkj, only_v)
@@ -399,30 +404,76 @@ def propose_user_similarity(key, x, m_draw, num_triplets: int,
 
         return jax.lax.map(
             rank_body,
-            (jax.random.split(kk_c, num_neighbors),
+            (jax.random.split(kk_b, num_neighbors),
              jnp.arange(num_neighbors, dtype=jnp.int32)))
 
-    if nchunks == 1:
-        i_all, j_all = chunk_body((kc, u_p))                   # [nb, A]
-    else:
-        i_all, j_all = jax.lax.map(
-            chunk_body,
-            (jax.random.split(kc, nchunks), u_p.reshape(nchunks, chunk)))
-        # [nchunks, nb, chunk] -> [nb, A]
-        i_all = jnp.transpose(i_all, (1, 0, 2)).reshape(num_neighbors, -1)
-        j_all = jnp.transpose(j_all, (1, 0, 2)).reshape(num_neighbors, -1)
-    i_all = i_all[:, :a]
-    j_all = j_all[:, :a]
+    blk = min(a, max(_US_BLOCK_MIN,
+                     _US_BLOCK_ELEMS // max(top_k_items * top_k_items, 1)))
+    pad = (-a) % blk
+    nblk = (a + pad) // blk
 
-    wins = cascade_resolve(u, i_all, j_all, m,
-                           exclude=exclude, exclude_valid=exclude_valid)
-    resolved = jnp.any(wins, axis=0)
-    # Each attempt's accepted candidate (rank where win fired; <=1 per
-    # attempt by the participation gating).
-    i = jnp.sum(jnp.where(wins, i_all, 0), axis=0).astype(jnp.int32)
-    j = jnp.sum(jnp.where(wins, j_all, 0), axis=0).astype(jnp.int32)
-    cands = jnp.stack([u, i, j], axis=1)
-    return cands, resolved
+    if nblk == 1:
+        # Direct path (every parity/test point): RNG stream identical to
+        # the pre-blocking design.
+        i_all, j_all = block_candidates(kc, u)                 # [nb, A]
+        wins = cascade_resolve(u, i_all, j_all, m,
+                               exclude=exclude, exclude_valid=exclude_valid)
+        resolved = jnp.any(wins, axis=0)
+        # Each attempt's accepted candidate (rank where win fired; <=1
+        # per attempt by the participation gating).
+        i = jnp.sum(jnp.where(wins, i_all, 0), axis=0).astype(jnp.int32)
+        j = jnp.sum(jnp.where(wins, j_all, 0), axis=0).astype(jnp.int32)
+        return jnp.stack([u, i, j], axis=1), resolved
+
+    # Blocked path with budget early-exit.  The accepted-key table is
+    # threaded between blocks (winners' tags only — matching the
+    # reference's seen-set, which grows by ACCEPTED triplets); tags stay
+    # globally attempt-major so the per-block fixpoints compose to
+    # exactly the full sequential solution (later tags can never displace
+    # an earlier block's winner).
+    nb = num_neighbors
+    u_p = jnp.pad(u, (0, pad)) if pad else u
+    bkeys = jax.random.split(kc, nblk)
+    ex_rows = 0 if exclude is None else int(exclude.shape[0])
+    bits = _cascade_bits(a, ex_rows)
+    h = 1 << bits
+    table0 = _cascade_base_table(
+        h, bits, exclude=exclude, exclude_valid=exclude_valid)
+    arange_blk = jnp.arange(blk, dtype=jnp.int32)
+    tags_local = (arange_blk[None, :] * nb
+                  + jnp.arange(nb, dtype=jnp.int32)[:, None])
+
+    def cond(carry):
+        _, _, _, _, wins_n, k = carry
+        return (k < nblk) & (wins_n < num_triplets)
+
+    def body(carry):
+        table, i_out, j_out, res_out, wins_n, k = carry
+        u_blk = jax.lax.dynamic_slice(u_p, (k * blk,), (blk,))
+        i_all, j_all = block_candidates(bkeys[k], u_blk)       # [nb, blk]
+        in_range = (k * blk + arange_blk) < a                  # kill pad rows
+        valid = (i_all != j_all) & in_range[None, :]
+        slot_all = _cascade_slot(u_blk[None, :], i_all, j_all, bits)
+        tags = tags_local + k * (blk * nb)
+        win, table = _cascade_fixpoint(
+            slot_all, valid, tags, table, h, cap=blk)
+        res = jnp.any(win, axis=0)
+        i_b = jnp.sum(jnp.where(win, i_all, 0), axis=0).astype(jnp.int32)
+        j_b = jnp.sum(jnp.where(win, j_all, 0), axis=0).astype(jnp.int32)
+        i_out = jax.lax.dynamic_update_slice(i_out, i_b, (k * blk,))
+        j_out = jax.lax.dynamic_update_slice(j_out, j_b, (k * blk,))
+        res_out = jax.lax.dynamic_update_slice(res_out, res, (k * blk,))
+        return (table, i_out, j_out, res_out,
+                wins_n + jnp.sum(res, dtype=jnp.int32), k + 1)
+
+    p_total = nblk * blk
+    _, i_out, j_out, res_out, _, _ = jax.lax.while_loop(
+        cond, body,
+        (table0, jnp.zeros((p_total,), jnp.int32),
+         jnp.zeros((p_total,), jnp.int32), jnp.zeros((p_total,), bool),
+         jnp.int32(0), jnp.int32(0)))
+    cands = jnp.stack([u, i_out[:a], j_out[:a]], axis=1)
+    return cands, res_out[:a]
 
 
 def cascade_resolve(u, i_all, j_all, m: int,
@@ -470,47 +521,73 @@ def cascade_resolve(u, i_all, j_all, m: int,
     nb, a = i_all.shape
     valid = i_all != j_all
     ex_rows = 0 if exclude is None else int(exclude.shape[0])
-    bits = min(max((16 * (a + ex_rows) - 1).bit_length(), 20), 25)
+    bits = _cascade_bits(a, ex_rows)
     h = 1 << bits
 
-    def mix_slot(uu, ii, jj):
-        # Multiplicative mix of the triple; only the slot is ever used,
-        # so 32-bit wraparound is part of the hash, not an overflow bug.
-        s = uu.astype(jnp.uint32) * jnp.uint32(2654435761)
-        s = (s ^ ii.astype(jnp.uint32)) * jnp.uint32(2246822519)
-        s = (s ^ jj.astype(jnp.uint32)) * jnp.uint32(3266489917)
-        return (s >> jnp.uint32(32 - bits)).astype(jnp.int32)
-
-    slot_all = mix_slot(u[None, :], i_all, j_all)
+    slot_all = _cascade_slot(u[None, :], i_all, j_all, bits)
     tags = (jnp.arange(a, dtype=jnp.int32)[None, :] * nb
             + jnp.arange(nb, dtype=jnp.int32)[:, None])
-    sentinel = jnp.iinfo(jnp.int32).max
+    base_table = _cascade_base_table(
+        h, bits, exclude=exclude, exclude_valid=exclude_valid)
+    cap = a if max_passes is None else max_passes
+    win, _ = _cascade_fixpoint(slot_all, valid, tags, base_table, h, cap)
+    return win
 
-    base_table = jnp.full((h,), sentinel, jnp.int32)
+
+def _cascade_bits(attempts: int, ex_rows: int) -> int:
+    """Hash-table size exponent: 16x-load over attempts + exclude rows."""
+    return min(max((16 * (attempts + ex_rows) - 1).bit_length(), 20), 25)
+
+
+def _cascade_slot(uu, ii, jj, bits: int):
+    # Multiplicative mix of the triple; only the slot is ever used,
+    # so 32-bit wraparound is part of the hash, not an overflow bug.
+    s = uu.astype(jnp.uint32) * jnp.uint32(2654435761)
+    s = (s ^ ii.astype(jnp.uint32)) * jnp.uint32(2246822519)
+    s = (s ^ jj.astype(jnp.uint32)) * jnp.uint32(3266489917)
+    return (s >> jnp.uint32(32 - bits)).astype(jnp.int32)
+
+
+def _cascade_base_table(h: int, bits: int, exclude=None, exclude_valid=None):
+    """Fresh table (int32 max sentinel) with exclude keys seeded at -1."""
+    base_table = jnp.full((h,), jnp.iinfo(jnp.int32).max, jnp.int32)
     if exclude is not None:
         ex = exclude.astype(jnp.int32)
-        ex_slot = mix_slot(ex[:, 0], ex[:, 1], ex[:, 2])
+        ex_slot = _cascade_slot(ex[:, 0], ex[:, 1], ex[:, 2], bits)
         if exclude_valid is not None:
             ex_slot = jnp.where(exclude_valid, ex_slot, h)
         base_table = base_table.at[ex_slot].min(jnp.int32(-1), mode="drop")
+    return base_table
 
-    def _any_earlier(win):
-        # "Some rank r' < r of the same attempt won": exclusive or-scan
-        # down the rank axis.  associative_scan lowers to log2(nb)
-        # shifted ORs — NOT the reduce_window a cumsum becomes, which
-        # XLA's constant folder ground through at [nb, A] x vmap scale
-        # (>1 s/instance alarms in the round-4 dryrun).
-        inc = jax.lax.associative_scan(jnp.logical_or, win, axis=0)
-        return jnp.concatenate([jnp.zeros_like(win[:1]), inc[:-1]], axis=0)
+
+def _cascade_any_earlier(win):
+    # "Some rank r' < r of the same attempt won": exclusive or-scan
+    # down the rank axis.  associative_scan lowers to log2(nb)
+    # shifted ORs — NOT the reduce_window a cumsum becomes, which
+    # XLA's constant folder ground through at [nb, A] x vmap scale
+    # (>1 s/instance alarms in the round-4 dryrun).
+    inc = jax.lax.associative_scan(jnp.logical_or, win, axis=0)
+    return jnp.concatenate([jnp.zeros_like(win[:1]), inc[:-1]], axis=0)
+
+
+def _cascade_fixpoint(slot_all, valid, tags, base_table, h: int, cap):
+    """Iterate (participation -> scatter-min -> wins) until stable.
+
+    Returns ``(win, table_out)`` where ``table_out`` is ``base_table``
+    min-merged with the WINNERS' tags only — the accepted-key set, which
+    is what the next block of a blocked resolve (or nothing, for the
+    single-shot :func:`cascade_resolve`) must see.  Non-winning
+    participants never enter ``table_out``: in the reference's loop only
+    accepted triplets join the seen set.
+    """
+    nb = slot_all.shape[0]
 
     def one_pass(win):
-        participate = valid & ~_any_earlier(win)
+        participate = valid & ~_cascade_any_earlier(win)
         slot = jnp.where(participate, slot_all, h)
         table = base_table.at[slot.reshape(-1)].min(
             tags.reshape(-1), mode="drop")
         return participate & (table[jnp.minimum(slot, h - 1)] == tags)
-
-    cap = a if max_passes is None else max_passes
 
     def cond(carry):
         prev, cur, it = carry
@@ -524,12 +601,17 @@ def cascade_resolve(u, i_all, j_all, m: int,
     # iteration): hoisted out, one_pass(zeros) is a compile-time constant
     # and XLA's constant folder executes the whole pass per vmap element
     # at compile time (the round-4 compile-cliff signature).
-    win0 = jnp.zeros((nb, a), bool)
+    win0 = jnp.zeros(slot_all.shape, bool)
     _, win, _ = jax.lax.while_loop(
-        cond, body, (jnp.ones((nb, a), bool), win0, jnp.int32(0)))
+        cond, body, (jnp.ones(slot_all.shape, bool), win0, jnp.int32(0)))
     # Keep only each attempt's first win (the fixpoint's participation
     # rule; a no-op once converged — pure safety under the pass cap).
-    return win & ~_any_earlier(win)
+    win = win & ~_cascade_any_earlier(win)
+    slot_w = jnp.where(win, slot_all, h)
+    table_out = base_table.at[slot_w.reshape(-1)].min(
+        tags.reshape(-1), mode="drop")
+    del nb
+    return win, table_out
 
 
 # === Overdraw planning (host-side, static) ================================

@@ -47,6 +47,11 @@ def log(*a):
 
 
 def timed(name, fn, results):
+    # Measures trace + compile + enqueue: on axon, block_until_ready is a
+    # no-op, and that is FINE here — this profiler isolates compile cost,
+    # and execution (fractions of a second per stage at B=2 x R=4) would
+    # only blur it.  Steady-state execution is measured separately below
+    # with a forced host transfer.
     t0 = time.time()
     out = fn()
     jax.block_until_ready(out)
@@ -140,11 +145,15 @@ def main():
     del metrics
 
     # Steady pass over the same stages (all cached in-process now).
+    # Forced by device_get, NOT block_until_ready: on the axon platform
+    # block_until_ready is a no-op (measured round 5: 0.000 s vs 6.997 s
+    # device_get on an identical ~7 s program), so only a host transfer
+    # actually waits for execution.
     t0 = time.time()
     out = eng._run_bucket_device(
         eng._shape_only(cfg), cfg_keys, s, lr, wd, use_pallas=use_pallas,
         caps=caps, budgets=None, extra_budgets=None)
-    jax.block_until_ready(out)
+    jax.device_get(out)
     steady = time.time() - t0
 
     payload = {

@@ -66,6 +66,15 @@ COLLECTIVES = re.compile(
     r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
     r"all-to-all)\b")
 
+#: A scalar-predicate all-reduce: `pred[] all-reduce(...)` — the SPMD
+#: partitioner's consensus op for a data-dependent `while` condition
+#: (every shard must agree when the loop ends).  These move ONE BYTE per
+#: loop iteration and exist because the keyed-bijection shuffle and the
+#: dedup/cascade fixpoints are data-dependent loops; they are not data
+#: traffic.  Everything else (tensor all-reduce / all-gather / ...) would
+#: be real cross-chip bandwidth and must be absent under grid-DP.
+SCALAR_PRED_ALLREDUCE = re.compile(r"=\s*pred\[\]\s*all-reduce\b")
+
 #: Fixed total work: 16 configs x 3 reps = 48 full runs (generate X ->
 #: sample -> label -> 15-epoch train -> all metrics) at a mid-size shape.
 BUCKET = dict(n=300, m=300, d=2, p=0.2, num_epochs=15, reps=3)
@@ -95,15 +104,24 @@ def run_fixed_work(n_dev: int):
 
 def count_collectives_in_dump(dump_dir: str) -> dict:
     counts: dict = {}
+    scalar_pred = 0
     modules = 0
     for fname in os.listdir(dump_dir):
         if not fname.endswith("after_optimizations.txt"):
             continue
         modules += 1
         with open(os.path.join(dump_dir, fname)) as f:
-            for tok in COLLECTIVES.findall(f.read()):
-                counts[tok] = counts.get(tok, 0) + 1
-    return {"modules_scanned": modules, "collective_ops": counts}
+            for line in f:
+                if SCALAR_PRED_ALLREDUCE.search(line):
+                    scalar_pred += 1
+                    continue
+                for tok in COLLECTIVES.findall(line):
+                    counts[tok] = counts.get(tok, 0) + 1
+    return {
+        "modules_scanned": modules,
+        "data_collective_ops": counts,
+        "scalar_pred_loop_consensus_allreduces": scalar_pred,
+    }
 
 
 def main():
@@ -146,16 +164,22 @@ def main():
         env=env, check=True)
     census = count_collectives_in_dump(dump_dir)
     print(f"HLO census over {census['modules_scanned']} modules: "
-          f"collectives = {census['collective_ops'] or 'NONE'}", flush=True)
+          f"data collectives = {census['data_collective_ops'] or 'NONE'}; "
+          f"scalar pred[] loop-consensus all-reduces = "
+          f"{census['scalar_pred_loop_consensus_allreduces']}", flush=True)
+    assert not census["data_collective_ops"], census
 
     payload = {
         "fixed_total_work": {**BUCKET, "configs": B,
                              "total_runs": B * BUCKET["reps"]},
         "note": ("virtual devices share one physical core: flat wall clock "
                  "at fixed total work == zero sharding overhead; linear "
-                 "scaling on a real slice follows from the zero-collective "
-                 "census (independent per-device programs over ICI-less "
-                 "grid-DP)"),
+                 "scaling on a real slice follows from the census: zero "
+                 "DATA collectives under grid-DP (the only cross-device "
+                 "ops are 1-byte pred[] all-reduces — the SPMD "
+                 "partitioner's termination consensus for data-dependent "
+                 "while loops: keyed-bijection shuffle, dedup/cascade "
+                 "fixpoints)"),
         "scaling": rows,
         "hlo_census": census,
         "backend": "cpu (8 virtual devices, 1 physical core)",

@@ -227,22 +227,25 @@ def test_user_similarity_chunked_10k():
 
 
 def test_user_similarity_chunking_same_constraints():
-    """The padded multi-chunk path satisfies the same sampler invariants as
-    the single-chunk path (i in top(u)\\top(v) or fallback pair from top(u));
-    per-chunk RNG keys make the draws themselves differ by design.  With
+    """The padded multi-block path satisfies the same sampler invariants as
+    the single-block path (i in top(u)\\top(v) or fallback pair from top(u));
+    per-block RNG keys make the draws themselves differ by design.  With
     the cascade sampler, returned rows are per-attempt RESOLVED candidates:
-    valid rows are already globally unique."""
+    valid rows are already globally unique.  The block loop early-exits
+    once the budget (100) is filled, so trailing attempts may be
+    unresolved — the accepted prefix is still exact (attempt a's outcome
+    depends only on attempts < a)."""
     from mfcd_tpu.sampling import strategies as S
 
     x = generate_x(jax.random.key(5), 60, 80, 3, "base")
     key = jax.random.key(9)
-    old = (S._US_CHUNK_MIN, S._US_CHUNK_ELEMS)
+    old = (S._US_BLOCK_MIN, S._US_BLOCK_ELEMS)
     try:
-        # Force 3 padded chunks for 300 attempts.
-        S._US_CHUNK_MIN, S._US_CHUNK_ELEMS = 128, 1
+        # Force 3 padded blocks for 300 attempts.
+        S._US_BLOCK_MIN, S._US_BLOCK_ELEMS = 128, 1
         cands, valid = S.propose_user_similarity(key, x, 300, 100)
     finally:
-        S._US_CHUNK_MIN, S._US_CHUNK_ELEMS = old
+        S._US_BLOCK_MIN, S._US_BLOCK_ELEMS = old
     cands = np.asarray(cands)
     valid = np.asarray(valid)
     assert cands.shape == (300, 3) and valid.shape == (300,)
@@ -447,3 +450,44 @@ def test_user_similarity_cascade_exclude_semantics():
     want = np.array([[False, True, True],
                      [True, False, False]])
     np.testing.assert_array_equal(got, want)
+
+
+def test_user_similarity_cascade_block_composition():
+    """Threading the winners' table through per-block fixpoints must
+    reproduce the single-shot resolve EXACTLY — the correctness argument
+    behind the blocked, budget-early-exiting propose_user_similarity
+    (attempt a's outcome depends only on attempts < a, and the threaded
+    table carries exactly the accepted keys of earlier blocks)."""
+    from mfcd_tpu.sampling import strategies as S
+
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        a = int(rng.integers(120, 400))
+        nb = int(rng.integers(2, 10))
+        m = int(rng.integers(6, 20))
+        u = rng.integers(0, 12, a).astype(np.int32)
+        i_all = rng.integers(0, m, (nb, a)).astype(np.int32)
+        j_all = rng.integers(0, m, (nb, a)).astype(np.int32)
+        single = np.asarray(S.cascade_resolve(
+            jnp.asarray(u), jnp.asarray(i_all), jnp.asarray(j_all), m))
+
+        # Blocked: split the attempt axis, thread table between blocks,
+        # keeping the GLOBAL attempt-major tags.
+        bits = S._cascade_bits(a, 0)
+        h = 1 << bits
+        table = S._cascade_base_table(h, bits)
+        cut = a // 2 + int(rng.integers(-20, 20))
+        wins = []
+        for lo, hi in ((0, cut), (cut, a)):
+            ib = jnp.asarray(i_all[:, lo:hi])
+            jb = jnp.asarray(j_all[:, lo:hi])
+            ub = jnp.asarray(u[lo:hi])
+            slot = S._cascade_slot(ub[None, :], ib, jb, bits)
+            valid = ib != jb
+            tags = (jnp.arange(lo, hi, dtype=jnp.int32)[None, :] * nb
+                    + jnp.arange(nb, dtype=jnp.int32)[:, None])
+            win, table = S._cascade_fixpoint(
+                slot, valid, tags, table, h, cap=hi - lo)
+            wins.append(np.asarray(win))
+        blocked = np.concatenate(wins, axis=1)
+        np.testing.assert_array_equal(blocked, single)
