@@ -301,8 +301,12 @@ def propose_svd(key, x, m_draw, num_triplets: int, top_fraction: float = 0.3,
 # depend only on attempts < a, so skipped trailing blocks cannot change
 # the accepted prefix).  _US_BLOCK_MIN floors the block size so the
 # block count stays bounded for huge tk.  At the canonical n=m=1000
-# config (tk=30) blocks are 32,768 attempts.
-_US_BLOCK_ELEMS = 32768 * 30 * 30
+# config (tk=30) blocks are 4,096 attempts: the on-chip block-size sweep
+# (docs/device_r5/us_blocksize.json) measured 0.299 s at blk=4096 vs
+# 0.421 s at blk=32768 — the early-exit overshoot (ceil(budget/blk)*blk
+# attempts processed) dominates, and per-block loop overhead only starts
+# to bite below ~4k.
+_US_BLOCK_ELEMS = 4096 * 30 * 30
 _US_BLOCK_MIN = 1024
 
 def propose_user_similarity(key, x, m_draw, num_triplets: int,
