@@ -683,11 +683,17 @@ def plan_overdraw(
         # attempt gets up to num_neighbors (<=20) chances at a fresh
         # triplet — per-attempt success stays near 1 until the strategy's
         # support is nearly exhausted (the per-rank fallback pool alone
-        # spans ~n*tk*(tk-1) ~ 824k at the canonical config) — so 2T
-        # attempts fill the budget with a ~2x margin.  The reference's
-        # own sampler caps at 10k attempts total
-        # (generation_data.py:251-295) and returns <=10% of this budget.
-        return max(2 * t, 10_000)
+        # spans ~n*tk*(tk-1) ~ 824k at the canonical config).  The plan
+        # is 3T attempts, but the blocked resolver EARLY-EXITS at the
+        # budget, so the extra margin costs nothing when per-attempt
+        # success is high (the common case: ~budget/blk blocks run) and
+        # only executes on genuine support exhaustion (observed: a d=2
+        # production X filled 98.8% at a 2T plan — rank-2 user rows make
+        # neighbor top-sets nearly identical, shrinking the difference
+        # sets).  The reference's own sampler caps at 10k attempts total
+        # (generation_data.py:251-295) and returns <=10% of this budget
+        # with the same shortfall warning downstream.
+        return max(3 * t, 10_000)
     if strategy == "svd":
         return 5 * t  # reference over-generation cap
     raise ValueError(f"Unknown triplet sampling strategy: {strategy}")
