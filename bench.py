@@ -56,29 +56,62 @@ def bench_sweep():
     })
 
 
-def time_kn(k: int):
-    """Time the reference's heavy cell-5 configuration at label redundancy
-    ``K=k`` (hard labels: the K-multiplied dataset of ``structure.py:
-    516-518``, so K=10 is ~1M and K=50 ~4M padded train rows) on the
-    Pallas path vs the jnp fallback — the hot loop ``structure.py:845-852``
-    at its most demanding shapes.
-
-    Returns (runs_per_hour_pallas, speedup_vs_jnp)."""
+def time_kn_path(k: int, use_pallas: bool) -> float:
+    """Seconds/run for the reference's heavy cell-5 configuration at label
+    redundancy ``K=k`` (hard labels: the K-multiplied dataset of
+    ``structure.py:516-518``, so K=10 is ~1M and K=50 ~4M padded train
+    rows) on one training path — the hot loop ``structure.py:845-852``
+    at its most demanding shapes."""
     from mfcd_tpu.core.config import RunConfig
     from mfcd_tpu.sweep.batched import run_bucket
 
     cfg = RunConfig(n=1000, m=1000, d=2, p=0.2, s=5.0, lr=1e-3,
                     weight_decay=5e-6, num_epochs=30, reps=2, K=k)
     rows = [{"s": 5.0, "lr": 1e-3, "weight_decay": 5e-6}]
-    timings = {}
-    for use_pallas in (True, False):
-        run_bucket(cfg, rows, [0], seed=123, use_pallas=use_pallas)  # compile
-        t0 = time.time()
-        out = run_bucket(cfg, rows, [0], seed=321, use_pallas=use_pallas)
-        timings[use_pallas] = (time.time() - t0) / cfg.reps
-        log(f"K={k} use_pallas={use_pallas}: {timings[use_pallas]:.2f}s/run "
-            f"acc={[round(float(a), 3) for a in out[0]['accuracy']]}")
-    return 3600.0 / timings[True], timings[False] / timings[True]
+    run_bucket(cfg, rows, [0], seed=123, use_pallas=use_pallas)  # compile
+    t0 = time.time()
+    out = run_bucket(cfg, rows, [0], seed=321, use_pallas=use_pallas)
+    s_per_run = (time.time() - t0) / cfg.reps
+    log(f"K={k} use_pallas={use_pallas}: {s_per_run:.2f}s/run "
+        f"acc={[round(float(a), 3) for a in out[0]['accuracy']]}")
+    return s_per_run
+
+
+def time_kn(k: int):
+    """(runs_per_hour_pallas, speedup_vs_jnp) with both paths inline."""
+    t_pallas = time_kn_path(k, True)
+    t_jnp = time_kn_path(k, False)
+    return 3600.0 / t_pallas, t_jnp / t_pallas
+
+
+def _jnp_s_per_run_subprocess(k: int, timeout_s: int = 2400):
+    """The jnp-fallback timing in a bounded child, or None.
+
+    At K=50 shapes the jnp gather path crashes the TPU *worker*
+    (UNAVAILABLE "TPU worker process crashed", deterministic across 6
+    retries, observed 2026-08-19) — so the comparison runs in a child
+    that inherits the parent's session lock, and its failure costs the
+    graded metric only the optional speedup field, never the headline."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, MFCD_TPU_LOCK_HELD="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--_kn-jnp", str(k)],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        log(f"K={k} jnp-path child timed out after {timeout_s}s")
+        return None
+    sys.stderr.write(r.stderr[-2000:])
+    if r.returncode == 0:
+        try:
+            return float(r.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            pass
+    log(f"K={k} jnp-path child failed rc={r.returncode} "
+        f"(speedup field omitted)")
+    return None
 
 
 def time_k10():
@@ -100,15 +133,26 @@ def bench_k10():
 def bench_k50():
     """--k50: cell 5's heaviest bucket (K=50 vote expansion, ~4M padded
     train rows + 50x-expanded streamed eval; reference ``Runs.ipynb``
-    cell 5, ``structure.py:516-518``) as its own graded metric."""
-    runs_per_hour, speedup = time_kn(50)
-    emit({
+    cell 5, ``structure.py:516-518``) as its own graded metric.
+
+    The Pallas headline is measured inline first; the jnp comparison
+    runs afterwards in a bounded child because at these shapes it
+    crashes the TPU worker (see ``_jnp_s_per_run_subprocess``)."""
+    t_pallas = time_kn_path(50, True)
+    runs_per_hour = 3600.0 / t_pallas
+    payload = {
         "metric": "k50_full_training_runs_per_hour_per_chip_pallas",
         "value": round(runs_per_hour, 1),
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour / 125.0, 3),
-        "pallas_speedup_vs_jnp": round(speedup, 2),
-    })
+    }
+    t_jnp = _jnp_s_per_run_subprocess(50)
+    if t_jnp is not None:
+        payload["pallas_speedup_vs_jnp"] = round(t_jnp / t_pallas, 2)
+    else:
+        payload["jnp_path"] = ("unavailable: crashes the TPU worker at "
+                               "K=50 shapes (UNAVAILABLE, deterministic)")
+    emit(payload)
 
 
 def _probe_once(timeout_s: int) -> bool:
@@ -351,6 +395,13 @@ def _degraded_payload(metric: str) -> dict:
 
 
 def main():
+    if "--_kn-jnp" in sys.argv:
+        # Child mode for the bounded jnp-path comparison: the parent
+        # already holds the session lock (MFCD_TPU_LOCK_HELD=1) and has
+        # probed the device.  Prints ONE float (s/run) on stdout.
+        k = int(sys.argv[sys.argv.index("--_kn-jnp") + 1])
+        print(time_kn_path(k, False))
+        return
     quick = "--quick" in sys.argv
     if "--sweep" in sys.argv:
         metric = "sweep_runs_per_hour_per_chip_1000x1000_sxwd"
@@ -384,6 +435,22 @@ def main():
         # the tunnel the run is explicitly avoiding.
         print(json.dumps(_degraded_payload(metric)))
         return
+    try:
+        _run_mode(metric, quick)
+    except Exception as e:  # noqa: BLE001 — the driver must ALWAYS get
+        # its one parseable JSON line; a mid-measurement device loss
+        # (e.g. a TPU worker crash outlasting the retry budget) degrades
+        # to the last-good citation instead of rc!=0 with no artifact.
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        payload = _degraded_payload(metric)
+        payload["error"] = (f"bench failed mid-measurement: "
+                            f"{type(e).__name__}: {str(e)[:200]}")
+        print(json.dumps(payload))
+
+
+def _run_mode(metric: str, quick: bool) -> None:
     if "--sweep" in sys.argv:
         bench_sweep()
         return
