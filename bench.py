@@ -138,6 +138,8 @@ def bench_k50():
     The Pallas headline is measured inline first; the jnp comparison
     runs afterwards in a bounded child because at these shapes it
     crashes the TPU worker (see ``_jnp_s_per_run_subprocess``)."""
+    import os
+
     t_pallas = time_kn_path(50, True)
     runs_per_hour = 3600.0 / t_pallas
     payload = {
@@ -146,6 +148,21 @@ def bench_k50():
         "unit": "runs/hour/chip",
         "vs_baseline": round(runs_per_hour / 125.0, 3),
     }
+    if os.environ.get("MFCD_K50_JNP", "1") == "0":
+        # Session scripting hook: the jnp comparison has crashed the TPU
+        # *worker* at K=50 shapes (observed deterministic, 2026-08-19),
+        # which can poison every .jax_cache entry written earlier in the
+        # same worker lifetime — so interactive device sessions defer it
+        # to their last step.  The field is carried from the last-good
+        # record when one exists rather than silently dropped.
+        prior = _load_last_good().get(payload["metric"], {})
+        if "pallas_speedup_vs_jnp" in prior:
+            payload["pallas_speedup_vs_jnp"] = prior["pallas_speedup_vs_jnp"]
+            payload["jnp_path"] = "speedup carried from last-good record"
+        else:
+            payload["jnp_path"] = "comparison deferred (MFCD_K50_JNP=0)"
+        emit(payload)
+        return
     t_jnp = _jnp_s_per_run_subprocess(50)
     if t_jnp is not None:
         payload["pallas_speedup_vs_jnp"] = round(t_jnp / t_pallas, 2)
