@@ -20,6 +20,23 @@ run_step() {
   echo "=== $name done rc=$rc in $((SECONDS - t0))s" | tee -a "$LOG/session_r5b.log"
 }
 
+# 0. Preflight: wait for the tunnel to answer ONE tiny op before paying
+#    any step's full probe schedule against a dead tunnel (the 06:34Z
+#    outage cost bench_fresh 2x ~9 min of staged probes).  A 60 s bound
+#    is generous for a healthy first dispatch; a killed probe child was
+#    hung pre-compile, the same trade bench.py's own probes make.
+echo "=== preflight: waiting for tunnel $(date -u +%H:%M:%SZ)" | tee -a "$LOG/session_r5b.log"
+for i in $(seq 1 20); do
+  if timeout 60 python -c "import jax; print(int(jax.numpy.arange(4).sum()))" \
+      >/dev/null 2>&1; then
+    echo "=== preflight: tunnel healthy after attempt $i $(date -u +%H:%M:%SZ)" | tee -a "$LOG/session_r5b.log"
+    break
+  fi
+  echo "    preflight attempt $i failed $(date -u +%H:%M:%SZ)" >> "$LOG/session_r5b.log"
+  [ "$i" = 20 ] && { echo "=== preflight: tunnel still down; aborting" | tee -a "$LOG/session_r5b.log"; exit 1; }
+  sleep 150
+done
+
 # 1. Graded default bench on a genuinely fresh cache (this machine has no
 #    .jax_cache): the warmup line IS the item-1 measurement, and the run
 #    repopulates the cache for the driver's end-of-round bench.
